@@ -1,0 +1,601 @@
+"""Vectorized backgammon environment (TPU-native).
+
+Reimplements the semantics of the reference Rust engine
+(/root/reference/src/backgammon/backgammon_logic.rs and encoding.rs) as pure,
+fixed-shape JAX functions so thousands of games step in lockstep under ``jit``.
+
+Key design difference vs the reference: legal-move enumeration.  The reference
+builds per-roll recursive action *trees* (ActionNode, backgammon_logic.rs:544-
+774), flattens them to sequences and removes sequences that reach duplicate
+states (remove_duplicate_states, :753-774).  Here the same move-set semantics
+are produced as a `[1352]` boolean mask in one fused kernel:
+
+1. decode every action index to its (from1,to1,from2,to2) sub-moves
+   (mirror of decode, backgammon_logic.rs:361-401),
+2. build single-move legality tables for the 2x26 possible first moves and
+   the 2x26x26 (die_order, from1, from2) second moves (mirror of
+   get_entry_moves/get_normal_moves/is_collectible, :555-703),
+3. keep only actions that are the *canonical encoding* of their decoded
+   move sequence (mirror of encode, :262-359) so duplicate action values
+   (e.g. flexible die attribution of bear-offs) collapse exactly as the
+   reference's encode does,
+4. deduplicate actions that reach identical states, keeping the one the
+   reference's depth-first tree enumeration would emit first (mirror of
+   remove_duplicate_states, :753-774) via an exact packed state signature
+   and a lexicographic sort.
+
+Dice use a counter-based seeded stream (splitmix-style uint32 mixing) rather
+than the reference's irreproducible ``thread_rng`` (backgammon_logic.rs:100-
+104); the C++ parity oracle implements the identical stream, which is what
+makes exact seeded trajectory parity testable (SURVEY.md section 7, hard part
+3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from die_e_tpu.envs.base import Env, GameSpec
+
+NUM_ACTIONS = 1352
+NOOP_ACTION = 1351  # encode(empty move), backgammon_logic.rs:267
+
+SPEC = GameSpec(
+    name="backgammon",
+    num_actions=NUM_ACTIONS,
+    obs_shape=(4, 6, 6),
+    conv_output_size=24,
+    n_filters=256,
+    n_res_blocks=19,
+    is_deterministic=False,
+    noop_action=NOOP_ACTION,
+)
+
+# Initial board, reference backgammon_logic.rs:80-94.  Negative = player -1.
+INITIAL_BOARD = (
+    2, 0, 0, 0, 0, -5, 0, -3, 0, 0, 0, 5,
+    -5, 0, 0, 0, 3, 0, 5, 0, 0, 0, 0, -2,
+)
+
+
+@struct.dataclass
+class BgState:
+    """Unbatched backgammon state.
+
+    board: [24] i32 signed piece counts (reference Board .0)
+    bar:   [2] i32, bar[0] = player -1's hit pieces, bar[1] = player +1's
+    off:   [2] i32 borne-off counts
+    roll:  [2] i32 current dice (1..6)
+    player: i32 scalar in {-1, +1}
+    second: bool scalar, doubles second-play flag (is_second_play)
+    seed:  u32 scalar, per-game dice stream seed
+    cnt:   i32 scalar, dice stream cursor (number of rolls made)
+    """
+
+    board: jnp.ndarray
+    bar: jnp.ndarray
+    off: jnp.ndarray
+    roll: jnp.ndarray
+    player: jnp.ndarray
+    second: jnp.ndarray
+    seed: jnp.ndarray
+    cnt: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Dice stream
+# ---------------------------------------------------------------------------
+
+
+def _mix32(x: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 fmix32 finalizer on uint32 (mirrored bit-for-bit in the C++
+    oracle, parity/oracle.cpp)."""
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def dice_from_stream(seed, cnt, salt) -> jnp.ndarray:
+    """Deterministic dice pair for (seed, cursor, salt).  Replaces the
+    reference's thread_rng roll_die (backgammon_logic.rs:100-104) with a
+    reproducible contract shared with the parity oracle."""
+    base = _mix32(
+        seed.astype(jnp.uint32)
+        ^ _mix32(cnt.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+        ^ _mix32(salt.astype(jnp.uint32) * jnp.uint32(0x7F4A7C15))
+    )
+    d0 = (base % jnp.uint32(6)).astype(jnp.int32) + 1
+    d1 = ((_mix32(base ^ jnp.uint32(0xDEADBEEF))) % jnp.uint32(6)).astype(jnp.int32) + 1
+    return jnp.stack([d0, d1])
+
+
+# ---------------------------------------------------------------------------
+# State construction
+# ---------------------------------------------------------------------------
+
+
+def init(seed) -> BgState:
+    """Fresh game: reference new() (backgammon_logic.rs:80-94) + first
+    roll_die() as done by self-play setup (alpha_parallel.rs:103-111)."""
+    seed = jnp.asarray(seed, jnp.uint32)
+    roll = dice_from_stream(seed, jnp.int32(0), jnp.int32(0))
+    return BgState(
+        board=jnp.array(INITIAL_BOARD, jnp.int32),
+        bar=jnp.zeros(2, jnp.int32),
+        off=jnp.zeros(2, jnp.int32),
+        roll=roll,
+        player=jnp.int32(-1),
+        second=jnp.asarray(False),
+        seed=seed,
+        cnt=jnp.int32(1),
+    )
+
+
+def make_state(board, bar, off, roll, player, second=False, seed=0, cnt=1) -> BgState:
+    """Arbitrary position (test helper, ~ init_with_fields,
+    backgammon_logic.rs:419-427)."""
+    return BgState(
+        board=jnp.asarray(board, jnp.int32),
+        bar=jnp.asarray(bar, jnp.int32),
+        off=jnp.asarray(off, jnp.int32),
+        roll=jnp.asarray(roll, jnp.int32),
+        player=jnp.asarray(player, jnp.int32),
+        second=jnp.asarray(second, bool),
+        seed=jnp.asarray(seed, jnp.uint32),
+        cnt=jnp.asarray(cnt, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Action codec (reference decode backgammon_logic.rs:361-401,
+# encode :262-359; the duplicated inherent impl lives in encoding.rs)
+# ---------------------------------------------------------------------------
+
+
+def _to_of(f, die, player):
+    """Destination of a sub-move from digit ``f`` (0..23 board, 24 bar) with
+    ``die`` for ``player``; -1 = bear-off.  Mirrors decode's arithmetic
+    (backgammon_logic.rs:383-398)."""
+    f_conv = jnp.where((f == 24) & (player == 1), -1, f)
+    t = f_conv + die * player
+    return jnp.where((t >= 24) | (t <= -1), -1, t)
+
+
+def decode_action(action, roll, player):
+    """action index -> (f1, t1, f2, t2, single, noop, die1, die2).
+
+    f values use -1 for the bar (reference Actions convention); f2 is
+    meaningless when ``single``.  Mirrors decode (backgammon_logic.rs:361-401).
+    """
+    action = jnp.asarray(action, jnp.int32)
+    high = jnp.maximum(roll[0], roll[1])
+    low = jnp.minimum(roll[0], roll[1])
+    hrf = action < 676
+    base = jnp.where(hrf, action, action - 676)
+    f1d = base % 26
+    f2d = base // 26
+    single = f2d == 25
+    noop = action == NOOP_ACTION
+    die1 = jnp.where(hrf, high, low)
+    die2 = jnp.where(hrf, low, high)
+    t1 = _to_of(f1d, die1, player)
+    t2 = _to_of(f2d, die2, player)
+    f1 = jnp.where(f1d == 24, -1, f1d)
+    f2 = jnp.where(f2d == 24, -1, f2d)
+    return f1, t1, f2, t2, single, noop, die1, die2
+
+
+def _min_roll(f, t):
+    """Minimum die value able to play sub-move (f, t)
+    (backgammon_logic.rs:277-285)."""
+    mr_bar = jnp.where(t < 6, t + 1, 24 - t)
+    mr_coll = jnp.where(f < 6, f + 1, 24 - f)
+    mr_norm = jnp.abs(f - t)
+    return jnp.where(f < 0, mr_bar, jnp.where(t < 0, mr_coll, mr_norm))
+
+
+def encode_move(f1, t1, f2, t2, single, roll, player):
+    """Move sequence -> canonical action index.  Mirrors encode
+    (backgammon_logic.rs:262-359).  ``single`` selects a 1-move sequence;
+    the empty sequence is NOOP_ACTION and handled by callers."""
+    del player  # encoding does not depend on the player
+    low = jnp.minimum(roll[0], roll[1])
+    min1 = _min_roll(f1, t1)
+    min2 = jnp.where(single, 0, _min_roll(f2, t2))
+    is_coll1 = (t1 < 0) & (f1 >= 0)
+    is_coll2 = (t2 < 0) & (f2 >= 0)
+    # low-roll flags are raised only by bar and normal moves (:301-349),
+    # and flag1 is reset for single-move sequences (:352)
+    flag1 = (~is_coll1) & (min1 == low) & (~single)
+    flag2 = (~single) & (~is_coll2) & (min2 == low)
+    hrf = jnp.where(
+        flag1,
+        False,
+        jnp.where(flag2, True, jnp.where(min2 != 0, min1 >= min2, min1 > low)),
+    )
+    digit1 = jnp.where(f1 < 0, 24, f1)
+    digit2 = jnp.where(single, 25, jnp.where(f2 < 0, 24, f2))
+    enc = digit1 + 26 * digit2
+    return jnp.where(hrf, enc, enc + 676).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Board transition (reference get_next_state backgammon_logic.rs:467-517)
+# ---------------------------------------------------------------------------
+
+
+def apply_submove(board, bar, off, player, frm, to, valid):
+    """Apply one sub-move (f -> t), masked by ``valid``.
+
+    frm == -1 means entry from the bar, to == -1 means bear-off; hitting a
+    lone opposing checker sends it to the opponent's bar.  Mirrors
+    get_next_state's per-action body (backgammon_logic.rs:469-515).
+    """
+    own = (player + 1) // 2
+    opp = 1 - own
+    is_collect = (to < 0) & (frm >= 0)
+    is_entry = frm < 0
+    toc = jnp.clip(to, 0, 23)
+    frmc = jnp.clip(frm, 0, 23)
+    hit = valid & (~is_collect) & (board[toc] == -player)
+    write_to = valid & (~is_collect)
+    new_to = jnp.where(hit, player, board[toc] + player)
+    board = board.at[toc].set(jnp.where(write_to, new_to, board[toc]))
+    board = board.at[frmc].add(jnp.where(valid & (~is_entry), -player, 0))
+    bar = bar.at[own].add(jnp.where(valid & is_entry, -1, 0))
+    bar = bar.at[opp].add(jnp.where(hit, 1, 0))
+    off = off.at[own].add(jnp.where(valid & is_collect, 1, 0))
+    return board, bar, off
+
+
+# ---------------------------------------------------------------------------
+# Single-move legality (reference get_entry_moves :662-703,
+# get_normal_moves :555-636, is_collectible :638-659)
+# ---------------------------------------------------------------------------
+
+
+def _is_collectible(board, bar, player):
+    """All checkers in the home board and none on the bar
+    (backgammon_logic.rs:638-659)."""
+    own = (player + 1) // 2
+    idx = jnp.arange(24)
+    neg_outside = jnp.any(jnp.where(idx >= 6, board, 0) < 0)
+    pos_outside = jnp.any(jnp.where(idx < 18, board, 0) > 0)
+    blocked = jnp.where(player < 0, neg_outside, pos_outside)
+    return (bar[own] == 0) & (~blocked)
+
+
+def legal_single(board, bar, off, player, die, f):
+    """Is the sub-move from digit ``f`` (0..23 board, 24 bar) with ``die``
+    legal in this position?  Exactly the push conditions of the reference's
+    move generators (entry :668-681, normal :600-616, bear-off :562-597)."""
+    del off
+    own = (player + 1) // 2
+    has_bar = bar[own] > 0
+
+    # --- entry from the bar (get_entry_moves :668-681)
+    e = jnp.where(player < 0, 24 - die, die - 1)
+    entry_open = jnp.where(player < 0, board[e] < 2, board[e] > -2)
+    legal_entry = has_bar & (f == 24) & entry_open
+
+    on_board = (f >= 0) & (f <= 23)
+    fc = jnp.clip(f, 0, 23)
+    t_raw = fc + die * player
+    in_range = (t_raw >= 0) & (t_raw <= 23)
+    tc = jnp.clip(t_raw, 0, 23)
+    own_piece = jnp.where(player < 0, board[fc] <= -1, board[fc] >= 1)
+    dest_open = jnp.where(player < 0, board[tc] <= 1, board[tc] >= -1)
+
+    # --- normal move (get_normal_moves :600-616)
+    legal_normal = (~has_bar) & on_board & in_range & own_piece & dest_open
+
+    # --- bear-off (get_normal_moves :562-597)
+    collectible = _is_collectible(board, bar, player)
+    exact = jnp.where(player < 0, t_raw == -1, t_raw == 24) & own_piece
+
+    idx = jnp.arange(24)
+    # player -1: highest j < die-1 with board[j] < 0 and sum(board[j+1..6]) >= 0
+    suff = jnp.cumsum(jnp.where(idx < 6, board, 0)[::-1])[::-1]  # suff[j] = sum board[j:6]
+    suff_next = jnp.concatenate([suff[1:6], jnp.zeros(1, suff.dtype)])
+    cond_neg = (board[:6] < 0) & (suff_next >= 0)
+    j6 = jnp.arange(6)
+    hc = jnp.max(jnp.where(cond_neg & (j6 < die - 1), j6, -1))
+    # player +1: lowest j >= 24-die with board[j] > 0 and sum(board[18..j]) <= 0
+    pre = jnp.cumsum(jnp.where(idx >= 18, board, 0))  # pre[j] = sum board[18:j+1]
+    pre_before = jnp.concatenate([jnp.zeros(1, pre.dtype), pre])[:24]  # sum board[18:j]
+    j18 = jnp.arange(18, 24)
+    cond_pos = (board[18:24] > 0) & (pre_before[18:24] <= 0)
+    lc = jnp.min(jnp.where(cond_pos & (j18 >= 24 - die), j18, 99))
+    higher = jnp.where(player < 0, fc == hc, fc == lc)
+
+    legal_collect = (
+        (~has_bar) & on_board & (~in_range) & collectible & (exact | higher)
+    )
+    return legal_entry | legal_normal | legal_collect
+
+
+# ---------------------------------------------------------------------------
+# Legal-action mask (reference get_valid_moves backgammon_logic.rs:403-414)
+# ---------------------------------------------------------------------------
+
+
+def _pack_signature(board, bar, off):
+    """Exact packed state signature: 5 int32 keys, each < 2**30.
+
+    Used for the reference's duplicate-resulting-state removal
+    (remove_duplicate_states, backgammon_logic.rs:753-774) with exact
+    equality (no hashing)."""
+    cells = (board + 15).astype(jnp.int32)  # 0..30, 5 bits
+    shifts = jnp.array([1, 32, 32 ** 2, 32 ** 3, 32 ** 4, 32 ** 5], jnp.int32)
+    k = jnp.sum(cells.reshape(4, 6) * shifts[None, :], axis=1)  # [4], 30 bits each
+    k4 = bar[0] + 16 * bar[1] + 256 * off[0] + 4096 * off[1]
+    return k[0], k[1], k[2], k[3], k4.astype(jnp.int32)
+
+
+def legal_mask(state: BgState) -> jnp.ndarray:
+    """[1352] bool legal-action mask, equal to
+    {encode(m) for m in reference get_valid_moves()} plus the no-op action
+    when (and only when) no move is legal.
+
+    The no-op bit diverges from the reference, which returns an empty move
+    list and relies on all-zero policy probabilities to trigger skip_turn
+    (alpha_parallel.rs:183-189); making the no-op explicitly legal yields the
+    identical trajectory (skip) while keeping the MCTS tree well-formed.
+    """
+    board, bar, off, player = state.board, state.bar, state.off, state.player
+    roll = state.roll
+    high = jnp.maximum(roll[0], roll[1])
+    low = jnp.minimum(roll[0], roll[1])
+    # attribution axis: index 0 = high die first (action < 676),
+    #                   index 1 = low die first (action >= 676)
+    d_first = jnp.stack([high, low])
+    d_second = jnp.stack([low, high])
+
+    f_axis = jnp.arange(26)
+
+    # -- first-move tables [2, 26]
+    def leg1(d, f):
+        return legal_single(board, bar, off, player, d, f)
+
+    legal1 = jax.vmap(lambda d: jax.vmap(lambda f: leg1(d, f))(f_axis))(d_first)
+    t1_tab = jax.vmap(lambda d: jax.vmap(lambda f: _to_of(f, d, player))(f_axis))(
+        d_first
+    )
+
+    # -- intermediate states after the first move [2, 26, ...]
+    def mk_s1(f, t, ok):
+        fm = jnp.where(f == 24, -1, f)
+        return apply_submove(board, bar, off, player, fm, t, ok & (f <= 24))
+
+    s1_board, s1_bar, s1_off = jax.vmap(
+        lambda dsel: jax.vmap(
+            lambda f: mk_s1(f, t1_tab[dsel, f], legal1[dsel, f])
+        )(f_axis)
+    )(jnp.arange(2))
+
+    # -- second-move tables [2, 26, 26] and [2, 26]
+    def leg2(dsel, f1, f2):
+        return legal_single(
+            s1_board[dsel, f1], s1_bar[dsel, f1], s1_off[dsel, f1],
+            player, d_second[dsel], f2,
+        )
+
+    legal2 = jax.vmap(
+        lambda dsel: jax.vmap(
+            lambda f1: jax.vmap(lambda f2: leg2(dsel, f1, f2))(f_axis)
+        )(f_axis)
+    )(jnp.arange(2))
+    t2_tab = jax.vmap(lambda d: jax.vmap(lambda f: _to_of(f, d, player))(f_axis))(
+        d_second
+    )
+    any2 = jnp.any(legal2, axis=-1)  # [2, 26]
+
+    # -- resulting states of full 2-move sequences [2, 26, 26, ...]
+    def mk_s2(dsel, f1, f2):
+        fm = jnp.where(f2 == 24, -1, f2)
+        return apply_submove(
+            s1_board[dsel, f1], s1_bar[dsel, f1], s1_off[dsel, f1],
+            player, fm, t2_tab[dsel, f2], f2 <= 24,
+        )
+
+    s2_board, s2_bar, s2_off = jax.vmap(
+        lambda dsel: jax.vmap(
+            lambda f1: jax.vmap(lambda f2: mk_s2(dsel, f1, f2))(f_axis)
+        )(f_axis)
+    )(jnp.arange(2))
+
+    # -- per-action evaluation [1352]
+    actions = jnp.arange(NUM_ACTIONS, dtype=jnp.int32)
+    hrf = actions < 676
+    base = jnp.where(hrf, actions, actions - 676)
+    f1d = base % 26
+    f2d = base // 26
+    single = f2d == 25
+    dsel = jnp.where(hrf, 0, 1)
+    t1 = t1_tab[dsel, f1d]
+    t2 = t2_tab[dsel, f2d]
+    f1m = jnp.where(f1d == 24, -1, f1d)
+    f2m = jnp.where(f2d == 24, -1, f2d)
+
+    # canonical-encoding filter: action must be encode(decode(action))
+    enc = jax.vmap(
+        lambda a1, b1, a2, b2, s: encode_move(a1, b1, a2, b2, s, roll, player)
+    )(f1m, t1, f2m, t2, single)
+    canonical = enc == actions
+
+    # tree legality under either die attribution (the tree may only generate
+    # a sequence via the non-canonical attribution; both count)
+    def ok_att(d):
+        first = legal1[d, f1d] & (t1_tab[d, f1d] == t1)
+        f2c = jnp.clip(f2d, 0, 25)
+        two = legal2[d, f1d, f2c] & (t2_tab[d, f2c] == t2)
+        return first & jnp.where(single, ~any2[d, f1d], two)
+
+    ok_high_first = ok_att(0)
+    ok_low_first = ok_att(1)
+    ok = ok_high_first | ok_low_first
+
+    raw = canonical & ok & (f1d != 25) & (actions != NOOP_ACTION)
+
+    # earliest tree position: the tree sorts candidate first moves by die
+    # value ascending (sort_unstable on (m, (from, to)) tuples,
+    # backgammon_logic.rs:619), so the low-die attribution comes first
+    die_eff = jnp.where(ok_low_first, low, high)
+    prio = (
+        (die_eff << 20)
+        | ((jnp.where(f1d == 24, -1, f1d) + 1) << 15)
+        | ((t1 + 1) << 10)
+        | jnp.where(
+            single, 0, ((jnp.where(f2d == 24, -1, f2d) + 1) << 5) | (t2 + 1)
+        )
+    ).astype(jnp.int32)
+
+    # resulting-state signature per action (exact, 5 int32 keys)
+    f2c = jnp.clip(f2d, 0, 25)
+
+    def sig_of(ds, a1, a2, s):
+        b = jnp.where(s, s1_board[ds, a1], s2_board[ds, a1, a2])
+        br = jnp.where(s, s1_bar[ds, a1], s2_bar[ds, a1, a2])
+        of = jnp.where(s, s1_off[ds, a1], s2_off[ds, a1, a2])
+        return _pack_signature(b, br, of)
+
+    k0, k1, k2, k3, k4 = jax.vmap(sig_of)(dsel, f1d, f2c, single)
+    # illegal actions get unique sentinel signatures so they never dedup
+    sentinel = jnp.int32(1 << 30) + actions
+    k0 = jnp.where(raw, k0, sentinel)
+    k1 = jnp.where(raw, k1, sentinel)
+    k2 = jnp.where(raw, k2, sentinel)
+    k3 = jnp.where(raw, k3, sentinel)
+    k4 = jnp.where(raw, k4, sentinel)
+
+    # dedup: keep the minimum-priority action within each signature group
+    order = jnp.lexsort((prio, k4, k3, k2, k1, k0))
+    same_as_prev = (
+        (k0[order][1:] == k0[order][:-1])
+        & (k1[order][1:] == k1[order][:-1])
+        & (k2[order][1:] == k2[order][:-1])
+        & (k3[order][1:] == k3[order][:-1])
+        & (k4[order][1:] == k4[order][:-1])
+    )
+    dup_sorted = jnp.concatenate([jnp.zeros(1, bool), same_as_prev])
+    dup = jnp.zeros(NUM_ACTIONS, bool).at[order].set(dup_sorted)
+
+    mask = raw & (~dup)
+    return mask.at[NOOP_ACTION].set(~jnp.any(mask))
+
+
+# ---------------------------------------------------------------------------
+# Step (reference apply_move :176-186 / skip_turn :192-196)
+# ---------------------------------------------------------------------------
+
+
+def step(state: BgState, action) -> BgState:
+    """Apply an encoded action (NOOP_ACTION = skip turn) and advance the
+    turn/dice state.  Doubles are played as two consecutive plies via the
+    ``second`` flag (reference apply_move :176-186, design note
+    alpha_no_parallel.rs:40-43)."""
+    action = jnp.asarray(action, jnp.int32)
+    f1, t1, f2, t2, single, noop, _, _ = decode_action(
+        action, state.roll, state.player
+    )
+    board, bar, off = apply_submove(
+        state.board, state.bar, state.off, state.player, f1, t1, ~noop
+    )
+    board, bar, off = apply_submove(
+        board, bar, off, state.player, f2, t2, (~noop) & (~single)
+    )
+
+    doubles = state.roll[0] == state.roll[1]
+    goes_second = doubles & (~state.second) & (~noop)
+    turn_passes = ~goes_second
+    fresh = dice_from_stream(state.seed, state.cnt, action)
+    return state.replace(
+        board=board,
+        bar=bar,
+        off=off,
+        player=jnp.where(turn_passes, -state.player, state.player),
+        second=goes_second,
+        roll=jnp.where(turn_passes, fresh, state.roll),
+        cnt=state.cnt + turn_passes.astype(jnp.int32),
+    )
+
+
+def winner(state: BgState) -> jnp.ndarray:
+    """0 = none, else the winning player (check_win_without_player,
+    backgammon_logic.rs:527-534)."""
+    return jnp.where(
+        state.off[0] == 15, -1, jnp.where(state.off[1] == 15, 1, 0)
+    ).astype(jnp.int32)
+
+
+def observe(state: BgState) -> jnp.ndarray:
+    """[4, 6, 6] float32, NHWC.  Channel semantics identical to the
+    reference's as_tensor (backgammon_logic.rs:198-252): board points,
+    player, hit counts (12/12), collected (12/12), roll (12/12),
+    second-play flag; the reference lays the same planes out NCHW."""
+    flat_idx = jnp.arange(24)
+    half = (flat_idx < 12).astype(jnp.int32)
+
+    def plane(v):
+        return jnp.asarray(v, jnp.float32).reshape(4, 6)
+
+    ch0 = plane(state.board)
+    ch1 = plane(jnp.full(24, state.player))
+    ch2 = plane(jnp.where(half, state.bar[0], state.bar[1]))
+    ch3 = plane(jnp.where(half, state.off[0], state.off[1]))
+    ch4 = plane(jnp.where(half, state.roll[0], state.roll[1]))
+    ch5 = plane(jnp.full(24, state.second.astype(jnp.int32)))
+    return jnp.stack([ch0, ch1, ch2, ch3, ch4, ch5], axis=-1)
+
+
+def player_of(state: BgState) -> jnp.ndarray:
+    return state.player
+
+
+ENV = Env(
+    spec=SPEC,
+    init=init,
+    step=step,
+    legal_mask=legal_mask,
+    observe=observe,
+    winner=winner,
+    player=player_of,
+)
+
+
+# ---------------------------------------------------------------------------
+# Host-side helpers (not jitted)
+# ---------------------------------------------------------------------------
+
+
+def pretty_str(state: BgState) -> str:
+    """Terminal board rendering in the spirit of to_pretty_str
+    (backgammon_logic.rs:110-174)."""
+    import numpy as np
+
+    b = np.asarray(state.board)
+    bar = np.asarray(state.bar)
+    off = np.asarray(state.off)
+    rows = []
+    top = " ".join(f"{i:>3}" for i in range(12, 24))
+    bot = " ".join(f"{i:>3}" for i in range(11, -1, -1))
+    cells_top = " ".join(f"{b[i]:>3}" for i in range(12, 24))
+    cells_bot = " ".join(f"{b[i]:>3}" for i in range(11, -1, -1))
+    rows.append(top)
+    rows.append(cells_top)
+    rows.append("-" * len(top))
+    rows.append(cells_bot)
+    rows.append(bot)
+    player = "Player 1 (x, -1)" if int(state.player) == -1 else "Player 2 (o, +1)"
+    info = (
+        f"Current turn: {player}  Roll: {tuple(np.asarray(state.roll))}"
+        f"  second_play={bool(state.second)}\n"
+        f"P1 bar={bar[0]} off={off[0]} | P2 bar={bar[1]} off={off[1]}"
+    )
+    return info + "\n" + "\n".join(rows)

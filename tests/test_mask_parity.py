@@ -1,0 +1,133 @@
+"""The central equivalence test: the fixed-shape [1352] legal-action mask
+kernel must produce exactly the reference's move set
+{encode(m) for m in get_valid_moves()} for arbitrary positions
+(SURVEY.md section 7, hard part 1).
+
+Checked against the tree-based Python oracle on the reference test
+positions plus randomized fuzzing over plausible boards.
+"""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from die_e_tpu.envs import backgammon as bg
+from parity import py_oracle as oracle
+
+
+def mask_jax(board, bar, off, roll, player):
+    s = bg.make_state(board, bar, off, roll, player)
+    return np.asarray(jax.jit(bg.legal_mask)(s))
+
+
+def assert_mask_matches(board, bar, off, roll, player, msg=""):
+    want = oracle.legal_action_set((list(board), tuple(bar), tuple(off)), roll, player)
+    got_mask = mask_jax(board, bar, off, roll, player)
+    got = set(np.nonzero(got_mask)[0].tolist())
+    assert got == want, (
+        f"mask mismatch {msg} roll={roll} player={player}\n"
+        f"board={list(board)} bar={bar} off={off}\n"
+        f"only_jax={sorted(got - want)} only_oracle={sorted(want - got)}\n"
+        f"jax_decodes={[oracle.decode(a, roll, player) for a in sorted(got - want)]}\n"
+        f"oracle_decodes={[oracle.decode(a, roll, player) for a in sorted(want - got)]}"
+    )
+
+
+def board_with(**kwargs):
+    b = [0] * 24
+    for k, v in kwargs.items():
+        b[int(k[1:])] = v
+    return b
+
+
+FIXED_CASES = [
+    # initial position, assorted rolls
+    (list(bg.INITIAL_BOARD), (0, 0), (0, 0), (1, 2), -1),
+    (list(bg.INITIAL_BOARD), (0, 0), (0, 0), (6, 6), -1),
+    (list(bg.INITIAL_BOARD), (0, 0), (0, 0), (3, 5), 1),
+    (list(bg.INITIAL_BOARD), (0, 0), (0, 0), (4, 4), 1),
+    # reference get_valid_moves cases (backgammon_test.rs:866-925)
+    (board_with(p20=-1, p19=2, p18=2), (0, 0), (0, 0), (1, 2), -1),
+    (board_with(p20=-1), (0, 0), (0, 0), (1, 2), -1),
+    (board_with(p20=-1), (0, 0), (0, 0), (2, 1), -1),
+    (board_with(p21=2), (1, 0), (0, 0), (1, 2), -1),
+    (board_with(p20=-1), (0, 0), (0, 0), (1, 1), -1),
+    # bear-off positions incl. flexible die attribution
+    (board_with(p0=-1, p1=-1), (0, 0), (13, 0), (6, 5), -1),
+    (board_with(p0=-1, p4=-1), (0, 0), (13, 0), (6, 1), -1),
+    (board_with(p0=-2, p5=-3), (0, 0), (10, 0), (6, 6), -1),
+    (board_with(p23=1, p22=1), (0, 0), (0, 13), (6, 5), 1),
+    (board_with(p23=1, p20=1), (0, 0), (0, 13), (6, 1), 1),
+    (board_with(p18=2, p19=-2, p20=1), (0, 0), (0, 12), (6, 3), 1),
+    # mixed bear-off with opponent in home board
+    (board_with(p3=5, p4=-1, p2=-1), (0, 0), (13, 0), (6, 2), -1),
+    (board_with(p5=-1, p3=-1, p4=2), (0, 0), (13, 0), (6, 4), -1),
+    # bar entries with partial blocks
+    (board_with(p18=2, p19=2, p20=2, p21=2, p22=2, p23=2), (2, 0), (0, 0), (3, 5), -1),
+    (board_with(p0=-2, p1=-2, p2=-2, p3=-2, p4=-2, p5=-2), (0, 2), (0, 0), (3, 5), 1),
+    (board_with(p21=1), (1, 0), (0, 0), (3, 3), -1),
+    # hit-makes-distinct (backgammon_test.rs:718-734)
+    (board_with(p20=-1, p19=1), (0, 0), (0, 0), (2, 1), -1),
+]
+
+
+@pytest.mark.parametrize("i", range(len(FIXED_CASES)))
+def test_mask_fixed_positions(i):
+    board, bar, off, roll, player = FIXED_CASES[i]
+    assert_mask_matches(board, bar, off, roll, player, msg=f"fixed[{i}]")
+
+
+def random_position(rng: random.Random):
+    """A plausible position: 15 checkers per player split over board / bar /
+    off, in reachable-looking configurations."""
+    board = [0] * 24
+    state = {}
+    for player in (-1, 1):
+        n = 15
+        off = rng.randint(0, 14) if rng.random() < 0.3 else 0
+        n -= off
+        bar = rng.choice([0, 0, 0, 1, 2]) if n > 0 else 0
+        bar = min(bar, n)
+        n -= bar
+        # sometimes force a near-bear-off shape
+        if rng.random() < 0.35:
+            pts = range(0, 6) if player == -1 else range(18, 24)
+        else:
+            pts = range(24)
+        pts = list(pts)
+        while n > 0:
+            p = rng.choice(pts)
+            if board[p] * player < 0:
+                continue  # occupied by opponent
+            add = min(n, rng.randint(1, 5))
+            board[p] += add * player
+            n -= add
+        state[player] = (bar, off)
+    bar = (state[-1][0], state[1][0])
+    off = (state[-1][1], state[1][1])
+    roll = (rng.randint(1, 6), rng.randint(1, 6))
+    player = rng.choice([-1, 1])
+    return board, bar, off, roll, player
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_mask_fuzz(seed):
+    rng = random.Random(1234 + seed)
+    for trial in range(40):
+        board, bar, off, roll, player = random_position(rng)
+        assert_mask_matches(board, bar, off, roll, player, msg=f"fuzz s{seed} t{trial}")
+
+
+def test_mask_batched_consistency():
+    """vmapped mask over a batch == per-state masks (lockstep stepping)."""
+    rng = random.Random(99)
+    cases = [random_position(rng) for _ in range(16)]
+    states = [bg.make_state(*c) for c in cases]
+    batched = jax.tree.map(lambda *xs: np.stack(xs), *states)
+    batched = jax.tree.map(jax.numpy.asarray, batched)
+    masks = np.asarray(jax.jit(jax.vmap(bg.legal_mask))(batched))
+    for i, c in enumerate(cases):
+        single = mask_jax(*c)
+        assert (masks[i] == single).all()
