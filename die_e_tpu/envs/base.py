@@ -61,6 +61,9 @@ class Env:
     observe: Callable[[State], Array]
     winner: Callable[[State], Array]
     player: Callable[[State], Array]
+    done: Callable[[State], Array] = None  # defaults to winner != 0
 
-    def done(self, state: State) -> Array:
-        return self.winner(state) != 0
+    def __post_init__(self):
+        if self.done is None:
+            w = self.winner
+            object.__setattr__(self, "done", lambda s: w(s) != 0)
