@@ -1,0 +1,20 @@
+from die_e_tpu.arena.versus import Agent, PlayResult, Player, play
+from die_e_tpu.arena.records import (
+    GameRecord,
+    load_all_games,
+    load_game,
+    replay_game,
+    save_game,
+)
+
+__all__ = [
+    "Agent",
+    "PlayResult",
+    "Player",
+    "play",
+    "GameRecord",
+    "load_all_games",
+    "load_game",
+    "replay_game",
+    "save_game",
+]

@@ -1,0 +1,210 @@
+"""Batched NN-guided MCTS (PUCT) fully on device.
+
+TPU-native rebuild of the reference's ``alpha_mcts_parallel``
+(reference src/mcts/alpha_mcts.rs:91-202): N lockstep games share one batched
+network evaluation per search iteration.  Where the reference walks heap
+trees on the CPU and pays 2 host<->device round-trips per iteration
+(states up at alpha_mcts.rs:175-183, policy/eval down at :186-190), here
+select -> evaluate -> expand -> backprop is one fused jitted loop over the
+array tree; nothing leaves the device.
+
+Search semantics mirrored exactly from the reference:
+
+* PUCT score  q + c * sqrt(parent_visits) / (child_visits + 1) * prior with
+  q = 0 for unvisited children (alpha_ucb, src/mcts/node.rs:98-112).
+* Root: one batched forward_policy, Dirichlet noise on the root priors,
+  masked+renormalized expansion, root visits preset to 1
+  (alpha_mcts.rs:104-127).
+* Per iteration: select leaf, batched forward_t, expand with
+  masked+renormalized priors, backprop the tanh value uniformly (no sign
+  alternation) up the parent chain (alpha_mcts.rs:149-199 +
+  simple_mcts.rs:96-103).
+* Terminal leaves backprop +-1 measured against the ROOT player
+  (alpha_mcts.rs:157-163).
+* Output: root-children visit-count distribution
+  (get_prob_tensor_parallel, src/mcts/utils.rs:42-58).
+
+Documented divergences (reference quirks consciously fixed, SURVEY.md
+section 7):
+
+* Dirichlet noise is sampled per game over the legal actions only; the
+  reference samples ONE noise vector over the full action space shared by
+  every game in the batch (noise.rs:27-34).
+* Terminal games do not keep re-expanding a stale leaf; the reference
+  re-expands the previous selection for finished games every iteration
+  (alpha_mcts.rs:142, 175-199).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from die_e_tpu.search.tree import (
+    Tree,
+    UNVISITED,
+    allocate,
+    backprop,
+    gather_states,
+    init_tree,
+    root_visit_probs,
+)
+
+
+@struct.dataclass
+class SearchResult:
+    visit_probs: jnp.ndarray   # [B, A] normalized root visit counts
+    root_value: jnp.ndarray    # [B] mean value at root
+    tree: Tree
+
+
+def _masked_renorm(policy, legal):
+    """Zero illegal entries and renormalize rows; illegal slots become the
+    -1.0 sentinel (reference turn_policy_to_probs_tensor_parallel,
+    src/mcts/utils.rs:60-72)."""
+    p = jnp.where(legal, policy, 0.0)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.maximum(s, 1e-30)
+    return jnp.where(legal, p, -1.0)
+
+
+def _dirichlet_legal(rng, alpha, legal):
+    """Per-game Dirichlet over the legal actions (fixed quirk; reference
+    noise.rs:27-34 shares one full-space vector across the batch)."""
+    g = jax.random.gamma(rng, alpha, legal.shape)
+    g = jnp.where(legal, g, 0.0)
+    return g / jnp.maximum(jnp.sum(g, axis=-1, keepdims=True), 1e-30)
+
+
+def puct_scores(tree: Tree, cur, c: float):
+    """[B, A] PUCT scores of ``cur``'s children (alpha_ucb,
+    src/mcts/node.rs:98-112); illegal actions -inf."""
+    b = jnp.arange(tree.batch_size)
+    p = tree.prior[b, cur]
+    legal = p >= 0.0
+    child = tree.children[b, cur]
+    cidx = jnp.clip(child, 0)
+    cv = jnp.where(child != UNVISITED, tree.visits[b[:, None], cidx], 0.0)
+    cs = jnp.where(child != UNVISITED, tree.value_sum[b[:, None], cidx], 0.0)
+    q = jnp.where(cv > 0, cs / jnp.maximum(cv, 1e-9), 0.0)
+    u = c * jnp.sqrt(tree.visits[b, cur])[:, None] / (cv + 1.0) * jnp.maximum(p, 0.0)
+    return jnp.where(legal, q + u, -jnp.inf)
+
+
+def select_and_allocate(tree: Tree, env, c: float):
+    """Descend every game from its root by PUCT until an unexpanded node,
+    materializing first-visited children on the way (alpha_select_leaf_node,
+    src/mcts/alpha_mcts.rs:14-20, with deferred allocation — see tree.py)."""
+    b = jnp.arange(tree.batch_size)
+    cur0 = jnp.zeros((tree.batch_size,), jnp.int32)
+
+    def cond(carry):
+        tree, cur = carry
+        return jnp.any(tree.expanded[b, cur])
+
+    def body(carry):
+        tree, cur = carry
+        active = tree.expanded[b, cur]
+        scores = puct_scores(tree, cur, c)
+        a_star = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        nxt = tree.children[b, cur, a_star]
+        need_alloc = active & (nxt == UNVISITED)
+        tree, new_idx = allocate(tree, env, cur, a_star, need_alloc)
+        nxt = jnp.where(need_alloc, new_idx, nxt)
+        cur = jnp.where(active, nxt, cur)
+        return tree, cur
+
+    return jax.lax.while_loop(cond, body, (tree, cur0))
+
+
+def expand(tree: Tree, leaf, prior_rows, mask) -> Tree:
+    """Install priors at ``leaf`` and mark expanded (alpha_expand_tensor,
+    src/mcts/node.rs:157-174, without materializing the children)."""
+    b = jnp.arange(tree.batch_size)
+    safe = jnp.where(mask, leaf, jnp.int32(2**30))
+    return tree.replace(
+        prior=tree.prior.at[b, safe].set(prior_rows, mode="drop"),
+        expanded=tree.expanded.at[b, safe].set(True, mode="drop"),
+    )
+
+
+@partial(jax.jit, static_argnames=("env", "eval_fn", "iterations", "c",
+                                   "dirichlet_alpha", "dirichlet_epsilon"))
+def alpha_search(
+    env,
+    eval_fn: Callable[[Any, Any], Any],
+    params,
+    states,
+    rng,
+    iterations: int = 100,
+    c: float = 2.0,
+    dirichlet_alpha: float = 0.3,
+    dirichlet_epsilon: float = 0.25,
+) -> SearchResult:
+    """Run PUCT search for a batch of root states.
+
+    ``eval_fn(params, obs [B,H,W,C]) -> (policy_softmax [B,A], value [B,1])``
+    (reference forward_t, nnet.rs:120-133).  ``eval_fn`` must be a stable
+    module-level function (it is a static jit arg); ``params`` is traced so
+    weight updates never trigger recompilation.
+    """
+    b_range = jnp.arange(jax.tree_util.tree_leaves(states)[0].shape[0])
+    tree = init_tree(env, states, capacity=iterations + 1)
+
+    # --- root: batched policy + per-game Dirichlet over legal actions
+    # (alpha_mcts_parallel root setup, alpha_mcts.rs:97-127)
+    root_obs = jax.vmap(env.observe)(states)
+    root_policy, _ = eval_fn(params, root_obs)
+    root_legal = jax.vmap(env.legal_mask)(states)
+    noise = _dirichlet_legal(rng, dirichlet_alpha, root_legal)
+    mixed = (1.0 - dirichlet_epsilon) * root_policy + dirichlet_epsilon * noise
+    root_prior = _masked_renorm(mixed, root_legal)
+    root_done = tree.node_done[:, 0]
+    tree = expand(tree, jnp.zeros_like(tree.node_count), root_prior, ~root_done)
+    tree = tree.replace(visits=tree.visits.at[:, 0].set(1.0))
+    root_player = jax.vmap(env.player)(states)
+
+    # --- search loop: one batched NN call per iteration
+    def body(_, tree):
+        tree, leaf = select_and_allocate(tree, env, c)
+        leaf_states = gather_states(tree, leaf)
+        obs = jax.vmap(env.observe)(leaf_states)
+        policy, value = eval_fn(params, obs)
+        legal = jax.vmap(env.legal_mask)(leaf_states)
+        prior_rows = _masked_renorm(policy, legal)
+
+        is_term = tree.node_done[b_range, leaf]
+        w = tree.node_winner[b_range, leaf]
+        term_val = jnp.where(
+            w == root_player, 1.0, jnp.where(w == -root_player, -1.0, 0.0)
+        )
+        v = jnp.where(is_term, term_val, value[:, 0])
+        tree = expand(tree, leaf, prior_rows, ~is_term)
+        return backprop(tree, leaf, v)
+
+    tree = jax.lax.fori_loop(0, iterations, body, tree)
+    root_v = tree.value_sum[:, 0] / jnp.maximum(tree.visits[:, 0], 1e-9)
+    return SearchResult(
+        visit_probs=root_visit_probs(tree), root_value=root_v, tree=tree
+    )
+
+
+def temperature_probs(visit_probs, temperature: float):
+    """pi^(1/tau) renormalized (reference temperature sampling,
+    src/alphazero/alphazero.rs:129-147 / alpha_parallel.rs:164-166)."""
+    p = jnp.power(jnp.maximum(visit_probs, 0.0), 1.0 / temperature)
+    s = jnp.sum(p, axis=-1, keepdims=True)
+    return p / jnp.maximum(s, 1e-30)
+
+
+def sample_action(rng, visit_probs, temperature: float):
+    """Weighted sample from the temperature distribution
+    (weighted_select_tensor_idx, alphazero.rs:129-137); all-zero rows fall
+    back to the last action index which callers must mask by done flags."""
+    p = temperature_probs(visit_probs, temperature)
+    logits = jnp.where(p > 0, jnp.log(p), -jnp.inf)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)

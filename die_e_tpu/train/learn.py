@@ -1,0 +1,188 @@
+"""The AlphaZero learn loop (self-play -> train -> gate).
+
+Rebuilds the reference's learn_parallel (reference
+src/alphazero/alpha_parallel.rs:17-99) with the identical iteration
+structure: per learn iteration, ``self_play_iterations`` batched self-play
+runs append to the iteration memory and are persisted under
+``data/{game}/run-{id}/lrn-{i}/sp-{j}`` (:43-62); then ``num_epochs``
+training passes (:78-81), a finite-weights check (:83), a per-iteration model
+checkpoint ``models/{game}/model_{i}`` (:85-95), and a gate against the best
+model (:96).
+
+The B=1 single-game configuration reproduces the reference's legacy
+sequential learn/self_play (alpha_no_parallel.rs:7-84) — set
+``num_self_play_batches=1``.
+"""
+
+from __future__ import annotations
+
+import uuid
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from die_e_tpu.core.config import Config
+from die_e_tpu.core.metrics import Metrics, Timer
+from die_e_tpu.nets.resnet import make_net
+from die_e_tpu.train import checkpoint as ckpt
+from die_e_tpu.train.gating import gate
+from die_e_tpu.train.learner import (
+    create_train_state,
+    make_optimizer,
+    net_eval_fn,
+    train_epoch,
+)
+from die_e_tpu.train.replay import Memory, save_training_data
+from die_e_tpu.train.self_play import self_play, trajectory_to_memory
+
+
+def learn(
+    env,
+    config: Config,
+    seed: int = 0,
+    model_path: Optional[str] = None,
+    data_base: str = "./data",
+    models_base: str = "./models",
+    metrics: Optional[Metrics] = None,
+    run_id: Optional[str] = None,
+):
+    """Run the full learn loop; returns the final TrainState."""
+    if metrics is None:
+        metrics = Metrics()
+    az, mcts_cfg, opt = config.alphazero, config.mcts, config.optimizer
+    run_id = run_id or uuid.uuid4().hex[:21]
+    run_base = Path(data_base) / env.spec.name / f"run-{run_id}"
+    run_base.mkdir(parents=True, exist_ok=True)
+    metrics.log("run_start", run_id=run_id, game=env.spec.name)
+
+    net = make_net(env.spec)
+    rng = jax.random.PRNGKey(seed)
+    rng, r_init = jax.random.split(rng)
+    state = create_train_state(net, r_init, lr=opt.lr, wd=opt.wd)
+    variables, source = ckpt.bootstrap_variables(
+        net, r_init, env.spec.name, model_path, models_base
+    )
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    metrics.log("model_bootstrap", source=source)
+    tx = make_optimizer(opt.lr, opt.wd)
+    eval_fn = net_eval_fn(net)
+
+    for l_i in range(az.learn_iterations):
+        lrn_path = run_base / f"lrn-{l_i}"
+        memory = Memory.empty(env.spec.obs_shape, env.spec.num_actions)
+        for sp_i in range(az.self_play_iterations):
+            rng, r_sp = jax.random.split(rng)
+            with Timer() as t:
+                traj = self_play(
+                    env, eval_fn, state.variables, r_sp,
+                    batch_size=az.num_self_play_batches,
+                    iterations=mcts_cfg.iterations,
+                    c=mcts_cfg.c,
+                    dirichlet_alpha=mcts_cfg.dirichlet_alpha,
+                    dirichlet_epsilon=mcts_cfg.dirichlet_epsilon,
+                    temperature=az.temperature,
+                    round_limit=mcts_cfg.simulate_round_limit,
+                )
+                obs, ps, outcome = trajectory_to_memory(traj)
+            frag = Memory(states=obs, ps=ps, outcomes=outcome)
+            memory = Memory.concat([memory, frag])
+            save_training_data(frag, lrn_path / f"sp-{sp_i}")
+            moves = int(np.sum(np.asarray(traj.num_moves)))
+            metrics.log(
+                "self_play",
+                learn_iter=l_i,
+                sp_iter=sp_i,
+                fragments=len(frag),
+                moves_per_s=moves / max(t.elapsed, 1e-9),
+                sims_per_s=moves * mcts_cfg.iterations / max(t.elapsed, 1e-9),
+                wins_m1=int(np.sum(np.asarray(traj.winner) == -1)),
+                wins_p1=int(np.sum(np.asarray(traj.winner) == 1)),
+                draws=int(np.sum(np.asarray(traj.winner) == 0)),
+            )
+
+        for epoch in range(az.num_epochs):
+            rng, r_ep = jax.random.split(rng)
+            ms: list = []
+            with Timer() as t:
+                state = train_epoch(
+                    net, tx, state, r_ep, memory.states, memory.ps,
+                    memory.outcomes, az.training_batch_size, ms,
+                )
+            metrics.log(
+                "train_epoch",
+                learn_iter=l_i,
+                epoch=epoch,
+                loss=float(np.mean([m["loss"] for m in ms])),
+                policy_loss=float(np.mean([m["policy_loss"] for m in ms])),
+                value_loss=float(np.mean([m["value_loss"] for m in ms])),
+                samples_per_s=len(memory) / max(t.elapsed, 1e-9),
+            )
+
+        # finite-weights check (alpha_parallel.rs:83) is inside train_epoch
+        model_path_i = ckpt.model_dir(env.spec.name, models_base) / f"model_{l_i}"
+        ckpt.save_variables(state.variables, model_path_i)
+        metrics.log("model_saved", learn_iter=l_i, path=str(model_path_i))
+
+        rng, r_gate = jax.random.split(rng)
+        gate(
+            env, net, eval_fn, state.variables, r_gate, mcts_cfg,
+            config.arena, az.temperature, models_base, metrics,
+        )
+    return state
+
+
+def train_offline(
+    env,
+    config: Config,
+    data_path: str,
+    seed: int = 0,
+    model_path: Optional[str] = None,
+    out_path: Optional[str] = None,
+    models_base: str = "./models",
+    metrics: Optional[Metrics] = None,
+):
+    """Offline training from saved self-play data — the reference's Train
+    CLI command (reference src/main.rs:172-206)."""
+    from die_e_tpu.train.replay import load_all_training_data
+
+    if metrics is None:
+        metrics = Metrics()
+    az, opt = config.alphazero, config.optimizer
+    memory = load_all_training_data(data_path)
+    metrics.log("train_offline_start", fragments=len(memory))
+
+    net = make_net(env.spec)
+    rng = jax.random.PRNGKey(seed)
+    rng, r_init = jax.random.split(rng)
+    state = create_train_state(net, r_init, lr=opt.lr, wd=opt.wd)
+    variables, source = ckpt.bootstrap_variables(
+        net, r_init, env.spec.name, model_path, models_base
+    )
+    state = state.replace(
+        params=variables["params"], batch_stats=variables["batch_stats"]
+    )
+    metrics.log("model_bootstrap", source=source)
+    tx = make_optimizer(opt.lr, opt.wd)
+
+    for epoch in range(az.num_epochs):
+        rng, r_ep = jax.random.split(rng)
+        ms: list = []
+        state = train_epoch(
+            net, tx, state, r_ep, memory.states, memory.ps, memory.outcomes,
+            az.training_batch_size, ms,
+        )
+        metrics.log(
+            "train_epoch", epoch=epoch,
+            loss=float(np.mean([m["loss"] for m in ms])),
+        )
+
+    out = Path(out_path) if out_path else (
+        ckpt.model_dir(env.spec.name, models_base) / "trained_model"
+    )  # reference default trained_model.ot (main.rs:201-206)
+    ckpt.save_variables(state.variables, out)
+    metrics.log("model_saved", path=str(out))
+    return state

@@ -1,0 +1,162 @@
+"""Training state, loss and optimizer.
+
+Rebuilds the reference's AlphaZero::train (reference
+src/alphazero/alphazero.rs:202-261) as a jitted optax train step:
+
+* loss = CrossEntropy(policy logits, MCTS probs) + MSE(value, outcome)
+  (alphazero.rs:239-247), where the CE target is the (unnormalized)
+  temperature-adjusted visit distribution exactly as the reference stores it
+  (alpha_parallel.rs:164-166, 192-199).
+* optimizer = Adam(lr, betas=(0.9, 0.999), eps=1e-8) with L2 weight decay
+  added to the gradient BEFORE the moment estimation — tch's
+  Adam::default().wd(wd) (alphazero.rs:102) is torch Adam's coupled
+  weight_decay, i.e. optax.add_decayed_weights chained in front of adam,
+  NOT decoupled AdamW.
+* NaN/Inf guards returned as a jitted flag instead of host asserts
+  (alphazero.rs:251-255).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from die_e_tpu.nets.resnet import PolicyValueNet, init_params
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def make_optimizer(lr: float = 1e-3, wd: float = 1e-4):
+    """torch-Adam-with-weight-decay equivalent (see module doc)."""
+    return optax.chain(
+        optax.add_decayed_weights(wd),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-lr),
+    )
+
+
+def create_train_state(net: PolicyValueNet, rng, lr: float = 1e-3,
+                       wd: float = 1e-4) -> TrainState:
+    variables = init_params(net, rng)
+    tx = make_optimizer(lr, wd)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.int32(0),
+    )
+
+
+def net_eval_fn(net: PolicyValueNet):
+    """Stable inference closure factory: returns eval_fn(variables, obs) ->
+    (softmax policy, value), the shape alpha_search expects (reference
+    forward_t, nnet.rs:120-133).  The returned function is cached per net so
+    it is a stable jit static arg."""
+    if not hasattr(net_eval_fn, "_cache"):
+        net_eval_fn._cache = {}
+    key = (net.spec, net.dtype)
+    if key not in net_eval_fn._cache:
+        def eval_fn(variables, obs):
+            logits, value = net.apply(variables, obs, train=False)
+            return jax.nn.softmax(logits, axis=-1), value
+
+        net_eval_fn._cache[key] = eval_fn
+    return net_eval_fn._cache[key]
+
+
+def loss_fn(net, params, batch_stats, obs, ps, outcome, weight):
+    """CE(policy, ps) + MSE(value, outcome), means over real (weighted)
+    samples — identical math to alphazero.rs:239-247 with batch padding
+    support (the reference's last partial batch, alphazero.rs:206)."""
+    (logits, value), mutated = net.apply(
+        {"params": params, "batch_stats": batch_stats},
+        obs,
+        train=True,
+        mutable=["batch_stats"],
+    )
+    n = jnp.maximum(jnp.sum(weight), 1.0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.sum(ps * logp, axis=-1)
+    policy_loss = jnp.sum(ce * weight) / n
+    value_loss = jnp.sum(((value[:, 0] - outcome) ** 2) * weight) / n
+    loss = policy_loss + value_loss
+    return loss, (mutated["batch_stats"], policy_loss, value_loss)
+
+
+@partial(jax.jit, static_argnames=("net", "tx"), donate_argnums=(2,))
+def train_step(net, tx, state: TrainState, obs, ps, outcome, weight):
+    """One Adam step on one batch (alphazero.rs:205-259).  Returns
+    (new_state, metrics) where metrics includes a NaN flag replacing the
+    reference's asserts (alphazero.rs:251-255)."""
+    grad_fn = jax.value_and_grad(
+        lambda p: loss_fn(net, p, state.batch_stats, obs, ps, outcome, weight),
+        has_aux=True,
+    )
+    (loss, (new_bs, pl, vl)), grads = grad_fn(state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    nan_flag = jnp.logical_or(
+        ~jnp.isfinite(loss),
+        ~jnp.all(
+            jnp.asarray(
+                [jnp.all(jnp.isfinite(x)) for x in jax.tree_util.tree_leaves(new_params)]
+            )
+        ),
+    )
+    new_state = TrainState(
+        params=new_params,
+        batch_stats=new_bs,
+        opt_state=new_opt,
+        step=state.step + 1,
+    )
+    metrics = {"loss": loss, "policy_loss": pl, "value_loss": vl,
+               "nan": nan_flag}
+    return new_state, metrics
+
+
+def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
+                batch_size: int, metrics_out: list | None = None):
+    """One shuffled pass over the memory in fixed-size batches; the last
+    partial batch is padded with zero-weight rows (reference shuffles and
+    steps through min-capped slices, alphazero.rs:203-206)."""
+    import numpy as np
+
+    n = obs.shape[0]
+    perm = np.asarray(jax.random.permutation(rng, n))
+    nan_seen = False
+    for start in range(0, n, batch_size):
+        idx = perm[start : start + batch_size]
+        w = np.ones(len(idx), np.float32)
+        if len(idx) < batch_size:
+            pad = batch_size - len(idx)
+            idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+            w = np.concatenate([w, np.zeros(pad, np.float32)])
+        state, m = train_step(
+            net, tx, state,
+            jnp.asarray(obs[idx]), jnp.asarray(ps[idx]),
+            jnp.asarray(outcome[idx]), jnp.asarray(w),
+        )
+        if metrics_out is not None:
+            metrics_out.append({k: float(v) for k, v in m.items()})
+        nan_seen = nan_seen or bool(m["nan"])
+    if nan_seen:
+        raise FloatingPointError(
+            "NaN/Inf in loss or weights during training "
+            "(reference asserts, alphazero.rs:251-255 / alpha_parallel.rs:83)"
+        )
+    return state

@@ -1,0 +1,140 @@
+"""Batched self-play, fully jitted.
+
+Rebuilds the reference's self_play_parallel (reference
+src/alphazero/alpha_parallel.rs:101-232): num_self_play_batches games step in
+lockstep; every move runs one batched PUCT search, samples from the
+temperature-adjusted visit distribution, and records
+(state, probs, player) fragments that get their outcome relabeled at game
+end (+1/-1 from each fragment's player perspective, alpha_parallel.rs:215-223;
+0 for round-limit draws, :172-180).
+
+jit-shape differences from the reference (trajectory-preserving, SURVEY.md
+section 7 hard part 4):
+
+* finished games are not removed from the batch (HashMap remove,
+  alpha_parallel.rs:226-228); they keep stepping masked with a ``valid``
+  flag and contribute no fragments.
+* skip-turns are the explicit noop action sampled from the search (the
+  reference detects an all-zero prob row and calls skip_turn,
+  :183-189); noop plies are excluded from training data exactly as the
+  reference's skip branch records nothing.
+* the stored probability rows are the *unnormalized* temperature powers
+  pi^(1/tau) exactly as the reference stores them
+  (prob_tensor.pow_(1/temperature), :164-166).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from die_e_tpu.search.alpha import alpha_search, sample_action
+
+
+@struct.dataclass
+class Trajectory:
+    """[T, B, ...] self-play record; ``valid`` marks fragments that exist in
+    the reference's memory (live game, non-skip move)."""
+
+    obs: jnp.ndarray       # [T, B, H, W, C]
+    probs: jnp.ndarray     # [T, B, A] unnormalized pi^(1/tau)
+    player: jnp.ndarray    # [T, B]
+    valid: jnp.ndarray     # [T, B] bool
+    outcome: jnp.ndarray   # [T, B] relabeled per-fragment outcome
+    winner: jnp.ndarray    # [B] final winner (0 = draw/round limit)
+    num_moves: jnp.ndarray  # [B]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "env", "eval_fn", "batch_size", "iterations", "c",
+        "dirichlet_alpha", "dirichlet_epsilon", "temperature", "round_limit",
+    ),
+)
+def self_play(
+    env,
+    eval_fn,
+    params,
+    rng,
+    batch_size: int,
+    iterations: int = 100,
+    c: float = 2.0,
+    dirichlet_alpha: float = 0.3,
+    dirichlet_epsilon: float = 0.25,
+    temperature: float = 1.25,
+    round_limit: int = 400,
+) -> Trajectory:
+    rng, r_seed = jax.random.split(rng)
+    seeds = jax.random.randint(
+        r_seed, (batch_size,), 0, jnp.iinfo(jnp.int32).max
+    ).astype(jnp.uint32)
+    states = jax.vmap(env.init)(seeds)
+    done0 = jax.vmap(env.done)(states)
+
+    def body(carry, _):
+        states, done, rng = carry
+        rng, r_search, r_sample = jax.random.split(rng, 3)
+        res = alpha_search(
+            env, eval_fn, params, states, r_search,
+            iterations=iterations, c=c,
+            dirichlet_alpha=dirichlet_alpha,
+            dirichlet_epsilon=dirichlet_epsilon,
+        )
+        tprobs = jnp.power(jnp.maximum(res.visit_probs, 0.0), 1.0 / temperature)
+        action = sample_action(r_sample, res.visit_probs, temperature)
+        # terminal roots produce all-zero prob rows -> freeze those games
+        no_probs = jnp.sum(res.visit_probs, axis=-1) <= 0.0
+        action = jnp.where(done | no_probs, env.spec.noop_action, action)
+
+        obs = jax.vmap(env.observe)(states)
+        player = jax.vmap(env.player)(states)
+        is_noop = action == env.spec.noop_action
+        valid = (~done) & (~is_noop)
+
+        next_states = jax.vmap(env.step)(states, action)
+        states = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(
+                jnp.reshape(done, done.shape + (1,) * (old.ndim - 1)), old, new
+            ),
+            states,
+            next_states,
+        )
+        new_done = done | jax.vmap(env.done)(states)
+        return (states, new_done, rng), (obs, tprobs, player, valid)
+
+    (final_states, done, _), (obs, probs, player, valid) = jax.lax.scan(
+        body, (states, done0, rng), None, length=round_limit
+    )
+    # round-limit games have no winner -> outcome 0 (draw, :172-180);
+    # finished games relabel every fragment vs its player (:215-223)
+    winner = jnp.where(done, jax.vmap(env.winner)(final_states), 0)
+    outcome = (winner[None, :] * player).astype(jnp.float32)
+    return Trajectory(
+        obs=obs,
+        probs=probs,
+        player=player,
+        valid=valid,
+        outcome=outcome,
+        winner=winner,
+        num_moves=jnp.sum(valid.astype(jnp.int32), axis=0),
+    )
+
+
+def trajectory_to_memory(traj: Trajectory):
+    """Flatten [T, B] fragments into the reference's flat memory vec
+    (Vec<MemoryFragment>, alphazero.rs:68-73): numpy arrays
+    (states, ps, outcomes) keeping only valid fragments."""
+    import numpy as np
+
+    valid = np.asarray(traj.valid).reshape(-1)
+    obs = np.asarray(traj.obs)
+    t, b = obs.shape[:2]
+    obs = obs.reshape(t * b, *obs.shape[2:])[valid]
+    ps = np.asarray(traj.probs).reshape(t * b, -1)[valid]
+    outcome = np.asarray(traj.outcome).reshape(-1)[valid]
+    return obs, ps, outcome

@@ -9,7 +9,9 @@ import os
 import sys
 
 if os.environ.get("DIE_E_TEST_TPU", "0") != "1":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # force (not setdefault): the ambient environment may point
+    # JAX_PLATFORMS at a real accelerator
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
