@@ -35,12 +35,31 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from die_e_tpu.envs.base import Env, GameSpec
 
 NUM_ACTIONS = 1352
 NOOP_ACTION = 1351  # encode(empty move), backgammon_logic.rs:267
+
+# Static per-action index tables (host numpy so every use of them compiles
+# to static gathers/selects — on TPU a dynamic [B,1352] gather is ~70x the
+# cost of a constant-index one).  Action layout (reference encode scheme
+# comment, backgammon_logic.rs:290-297): id = f1 + 26*f2 (+676 if the low
+# roll plays first); digit 24 = bar, second digit 25 = no second move.
+_ACT = np.arange(NUM_ACTIONS, dtype=np.int32)
+_HRF = _ACT < 676                      # high-roll-first block
+_BASE = np.where(_HRF, _ACT, _ACT - 676)
+_F1D = (_BASE % 26).astype(np.int32)   # first-move from digit
+_F2D = (_BASE // 26).astype(np.int32)  # second-move from digit (25 = none)
+_SINGLE = _F2D == 25
+_DSEL = np.where(_HRF, 0, 1).astype(np.int32)  # die-attribution index
+_F1M = np.where(_F1D == 24, -1, _F1D).astype(np.int32)
+_F2M = np.where(_F2D == 24, -1, _F2D).astype(np.int32)
+# transposition partner ids (digits swapped), both blocks
+_T_HI = (_F2D + 26 * _F1D).astype(np.int32)
+_T_LO = (_T_HI + 676).astype(np.int32)
 
 SPEC = GameSpec(
     name="backgammon",
@@ -396,52 +415,34 @@ def legal_mask(state: BgState) -> jnp.ndarray:
     )
     any2 = jnp.any(legal2, axis=-1)  # [2, 26]
 
-    # -- resulting states of full 2-move sequences [2, 26, 26, ...]
-    def mk_s2(dsel, f1, f2):
-        fm = jnp.where(f2 == 24, -1, f2)
-        return apply_submove(
-            s1_board[dsel, f1], s1_bar[dsel, f1], s1_off[dsel, f1],
-            player, fm, t2_tab[dsel, f2], f2 <= 24,
-        )
-
-    s2_board, s2_bar, s2_off = jax.vmap(
-        lambda dsel: jax.vmap(
-            lambda f1: jax.vmap(lambda f2: mk_s2(dsel, f1, f2))(f_axis)
-        )(f_axis)
-    )(jnp.arange(2))
-
-    # -- per-action evaluation [1352]
-    actions = jnp.arange(NUM_ACTIONS, dtype=jnp.int32)
-    hrf = actions < 676
-    base = jnp.where(hrf, actions, actions - 676)
-    f1d = base % 26
-    f2d = base // 26
-    single = f2d == 25
-    dsel = jnp.where(hrf, 0, 1)
-    t1 = t1_tab[dsel, f1d]
-    t2 = t2_tab[dsel, f2d]
-    f1m = jnp.where(f1d == 24, -1, f1d)
-    f2m = jnp.where(f2d == 24, -1, f2d)
+    # -- per-action evaluation [1352]; all index tables are host numpy
+    # constants (_F1D etc.) so these lower to static gathers
+    t1 = t1_tab[_DSEL, _F1D]
+    t2 = t2_tab[_DSEL, _F2D]
+    f1m = jnp.asarray(_F1M)
+    f2m = jnp.asarray(_F2M)
+    single = jnp.asarray(_SINGLE)
+    actions = jnp.asarray(_ACT)
 
     # canonical-encoding filter: action must be encode(decode(action))
-    enc = jax.vmap(
-        lambda a1, b1, a2, b2, s: encode_move(a1, b1, a2, b2, s, roll, player)
-    )(f1m, t1, f2m, t2, single)
+    # (encode_move is elementwise, so it maps over the action axis directly)
+    enc = encode_move(f1m, t1, f2m, t2, single, roll, player)
     canonical = enc == actions
 
     # tree legality under either die attribution (the tree may only generate
     # a sequence via the non-canonical attribution; both count)
+    f2c = np.clip(_F2D, 0, 25)
+
     def ok_att(d):
-        first = legal1[d, f1d] & (t1_tab[d, f1d] == t1)
-        f2c = jnp.clip(f2d, 0, 25)
-        two = legal2[d, f1d, f2c] & (t2_tab[d, f2c] == t2)
-        return first & jnp.where(single, ~any2[d, f1d], two)
+        first = legal1[d, _F1D] & (t1_tab[d, _F1D] == t1)
+        two = legal2[d, _F1D, f2c] & (t2_tab[d, f2c] == t2)
+        return first & jnp.where(single, ~any2[d, _F1D], two)
 
     ok_high_first = ok_att(0)
     ok_low_first = ok_att(1)
     ok = ok_high_first | ok_low_first
 
-    raw = canonical & ok & (f1d != 25) & (actions != NOOP_ACTION)
+    raw = canonical & ok & jnp.asarray(_F1D != 25) & (actions != NOOP_ACTION)
 
     # earliest tree position: the tree sorts candidate first moves by die
     # value ascending (sort_unstable on (m, (from, to)) tuples,
@@ -449,42 +450,113 @@ def legal_mask(state: BgState) -> jnp.ndarray:
     die_eff = jnp.where(ok_low_first, low, high)
     prio = (
         (die_eff << 20)
-        | ((jnp.where(f1d == 24, -1, f1d) + 1) << 15)
+        | ((jnp.asarray(np.where(_F1D == 24, -1, _F1D) + 1)) << 15)
         | ((t1 + 1) << 10)
         | jnp.where(
-            single, 0, ((jnp.where(f2d == 24, -1, f2d) + 1) << 5) | (t2 + 1)
+            single,
+            0,
+            (jnp.asarray(np.where(_F2D == 24, -1, _F2D) + 1) << 5) | (t2 + 1),
         )
     ).astype(jnp.int32)
 
-    # resulting-state signature per action (exact, 5 int32 keys)
-    f2c = jnp.clip(f2d, 0, 25)
+    # -- resulting-state signature per action (exact, 5 int32 keys).
+    # The packing is LINEAR in the cell values, so instead of materializing
+    # all [2,26,26] two-move result boards, pack the 52 one-move states and
+    # add the second sub-move's contribution algebraically.  The only
+    # board-value lookup (the second move's destination cell) is built as a
+    # small [2,26,26] pair table, never as a dynamic [1352]-wide gather.
+    sig1 = jax.vmap(
+        lambda b_, br_, of_: jnp.stack(_pack_signature(b_, br_, of_))
+    )(
+        s1_board.reshape(52, 24), s1_bar.reshape(52, 2), s1_off.reshape(52, 2)
+    ).reshape(2, 26, 5)
 
-    def sig_of(ds, a1, a2, s):
-        b = jnp.where(s, s1_board[ds, a1], s2_board[ds, a1, a2])
-        br = jnp.where(s, s1_bar[ds, a1], s2_bar[ds, a1, a2])
-        of = jnp.where(s, s1_off[ds, a1], s2_off[ds, a1, a2])
-        return _pack_signature(b, br, of)
-
-    k0, k1, k2, k3, k4 = jax.vmap(sig_of)(dsel, f1d, f2c, single)
-    # illegal actions get unique sentinel signatures so they never dedup
-    sentinel = jnp.int32(1 << 30) + actions
-    k0 = jnp.where(raw, k0, sentinel)
-    k1 = jnp.where(raw, k1, sentinel)
-    k2 = jnp.where(raw, k2, sentinel)
-    k3 = jnp.where(raw, k3, sentinel)
-    k4 = jnp.where(raw, k4, sentinel)
-
-    # dedup: keep the minimum-priority action within each signature group
-    order = jnp.lexsort((prio, k4, k3, k2, k1, k0))
-    same_as_prev = (
-        (k0[order][1:] == k0[order][:-1])
-        & (k1[order][1:] == k1[order][:-1])
-        & (k2[order][1:] == k2[order][:-1])
-        & (k3[order][1:] == k3[order][:-1])
-        & (k4[order][1:] == k4[order][:-1])
+    base_keys = sig1[_DSEL, _F1D]  # [1352, 5] static gather
+    own = (player + 1) // 2
+    opp = 1 - own
+    is_collect2 = (t2 < 0) & (f2m >= 0)
+    is_entry2 = f2m < 0
+    toc = jnp.clip(t2, 0, 23)
+    frmc = jnp.clip(f2m, 0, 23)
+    # V[d, f1, f2] = s1_board[d, f1, t2_tab[d, f2] clipped]: pair table via
+    # a one-hot contraction over the 24 board cells (small, stays on-chip)
+    t2_clip = jnp.clip(t2_tab, 0, 23)  # [2, 26]
+    oh_t2 = (t2_clip[:, :, None] == jnp.arange(24)).astype(jnp.int32)  # [2,26,24]
+    V = jnp.einsum("dfc,dgc->dfg", s1_board, oh_t2)  # [2, 26(f1), 26(f2)]
+    v_to = V[_DSEL, _F1D, f2c]  # [1352] static gather
+    hit2 = (~is_collect2) & (v_to == -player)
+    change_to = jnp.where(
+        ~is_collect2, jnp.where(hit2, player - v_to, player), 0
     )
-    dup_sorted = jnp.concatenate([jnp.zeros(1, bool), same_as_prev])
-    dup = jnp.zeros(NUM_ACTIONS, bool).at[order].set(dup_sorted)
+    change_frm = jnp.where(~is_entry2, -player, 0)
+    pow32 = jnp.array([1, 32, 32**2, 32**3, 32**4, 32**5], jnp.int32)
+    rows = jnp.arange(4)
+    dk_rows = (
+        (toc // 6 == rows[:, None]) * change_to[None, :] * pow32[toc % 6][None, :]
+        + (frmc // 6 == rows[:, None]) * change_frm[None, :] * pow32[frmc % 6][None, :]
+    )  # [4, 1352]
+    bar_own_coef = jnp.where(own == 0, 1, 16)
+    bar_opp_coef = jnp.where(opp == 0, 1, 16)
+    off_own_coef = jnp.where(own == 0, 256, 4096)
+    dk4 = (
+        -is_entry2.astype(jnp.int32) * bar_own_coef
+        + hit2.astype(jnp.int32) * bar_opp_coef
+        + is_collect2.astype(jnp.int32) * off_own_coef
+    )
+    delta = jnp.concatenate([dk_rows, dk4[None, :]], axis=0).T  # [1352, 5]
+    keys = base_keys + jnp.where(single[:, None], 0, delta)
+
+    # -- sort-free exact duplicate removal (remove_duplicate_states,
+    # backgammon_logic.rs:753-774).  Two raw actions reach the same state
+    # only if they are (i) transpositions of one submove pair, or (ii)
+    # members of one chain class {f->m_h->t, f->m_l->t, their
+    # transpositions, and — when t is the off tray — the overshooting
+    # SINGLE bear-off} where m_h/m_l are the intermediate cells under the
+    # two die orders; any other pair of submove multisets has a different
+    # delta, hence a different final state.  Signature equality is the
+    # final arbiter, so spurious candidates are harmless; the enumeration
+    # below only has to be complete.
+    #
+    # TPU shape: candidate properties are read from the [2(block), 26(f2),
+    # 26(f1)]-reshaped property tensor via shifted-diagonal extractions
+    # (a masked reduction over a 26-axis) and static gathers — a dynamic
+    # [1352]-wide gather or sort would be 2 orders of magnitude slower.
+    props = jnp.concatenate(
+        [keys, prio[:, None], raw[:, None].astype(jnp.int32)], axis=1
+    )  # [1352, 7]
+    props_mat = props.reshape(2, 26, 26, 7)  # [block, f2 digit, f1 digit, prop]
+
+    digit_axis = jnp.arange(26)
+    # intermediate cell digit reached from digit f with a given die
+    # (_to_of semantics: bar digit 24 maps to the entry cell)
+    m1 = jnp.stack([_to_of(digit_axis, d_first[b], player) for b in range(2)])
+    m2 = jnp.stack([_to_of(digit_axis, d_second[b], player) for b in range(2)])
+
+    def diag_f2(mtab):
+        # D[b, f, p] = props_mat[b, mtab[b, f], f, p]
+        mask = mtab[:, None, :] == digit_axis[None, :, None]  # [2, 26(r), 26(f)]
+        return jnp.sum(props_mat * mask[..., None], axis=1)  # [2, 26, 7]
+
+    def diag_f1(mtab):
+        # D[b, f, p] = props_mat[b, f, mtab[b, f], p]
+        mask = mtab[:, :, None] == digit_axis[None, None, :]  # [2, 26(f), 26(r)]
+        return jnp.sum(props_mat * mask[..., None], axis=2)  # [2, 26, 7]
+
+    e_fm = diag_f2(m1)                    # partner (f, m) in block b
+    e_mf = diag_f1(m2)                    # partner (m, f) in block b
+    e_single = props_mat[:, 25, :, :]     # partner (f, no-second-move)
+
+    partner_props = [props[_T_HI], props[_T_LO]]
+    for b in range(2):
+        for x in (_F1D, _F2D):
+            partner_props.append(e_fm[b][x])
+            partner_props.append(e_mf[b][x])
+            partner_props.append(e_single[b][x])
+
+    dup = jnp.zeros(NUM_ACTIONS, bool)
+    for pp in partner_props:
+        same = jnp.all(pp[:, :5] == keys, axis=-1)
+        dup = dup | ((pp[:, 6] > 0) & same & (pp[:, 5] < prio))
 
     mask = raw & (~dup)
     return mask.at[NOOP_ACTION].set(~jnp.any(mask))

@@ -1,0 +1,73 @@
+"""Multi-host scaffolding (jax.distributed).
+
+The reference is strictly single-process (SURVEY.md section 2: no NCCL/MPI/
+Gloo anywhere, Cargo.toml has no comms dep); this is the scale-out layer the
+TPU rebuild adds.  Within a slice, collectives ride ICI; across hosts the
+runtime uses DCN — both inserted by XLA from shardings, never hand-written.
+
+Usage on each host of a pod slice::
+
+    initialize_multihost()            # reads env (coordinator, process id)
+    mesh = make_train_mesh()          # global mesh over all chips
+    seeds = process_batch_slice(global_batch, ...)  # this host's games
+
+Single-process runs are unaffected (initialize is a no-op without a
+cluster environment).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """jax.distributed.initialize with cluster auto-detection; returns True
+    if a multi-process runtime was set up."""
+    import os
+
+    if coordinator_address is None and "JAX_COORDINATOR_ADDRESS" not in os.environ \
+            and num_processes is None:
+        # no cluster configured -> single process
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def process_batch_slice(global_batch: int, seed: int = 0):
+    """Deterministic per-host slice of the global self-play batch: host i
+    owns games [i*B/H, (i+1)*B/H) with per-game seeds folded from the run
+    seed, so the global game set is identical regardless of host count."""
+    h = jax.process_count()
+    i = jax.process_index()
+    if global_batch % h:
+        raise ValueError(f"global batch {global_batch} not divisible by {h} hosts")
+    per = global_batch // h
+    rng = np.random.default_rng(seed)
+    all_seeds = rng.integers(0, 2**31 - 1, size=global_batch, dtype=np.int64)
+    return all_seeds[i * per : (i + 1) * per].astype(np.uint32)
+
+
+def global_array_from_local(mesh, local_batch_tree):
+    """Assemble host-local [B_local, ...] arrays into one global array
+    sharded over the mesh's data axis
+    (jax.make_array_from_process_local_data)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from die_e_tpu.core.mesh import DATA_AXIS
+
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        local_batch_tree,
+    )

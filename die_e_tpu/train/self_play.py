@@ -52,16 +52,16 @@ class Trajectory:
 @partial(
     jax.jit,
     static_argnames=(
-        "env", "eval_fn", "batch_size", "iterations", "c",
+        "env", "eval_fn", "iterations", "c",
         "dirichlet_alpha", "dirichlet_epsilon", "temperature", "round_limit",
     ),
 )
-def self_play(
+def self_play_from_states(
     env,
     eval_fn,
     params,
+    states,
     rng,
-    batch_size: int,
     iterations: int = 100,
     c: float = 2.0,
     dirichlet_alpha: float = 0.3,
@@ -69,11 +69,8 @@ def self_play(
     temperature: float = 1.25,
     round_limit: int = 400,
 ) -> Trajectory:
-    rng, r_seed = jax.random.split(rng)
-    seeds = jax.random.randint(
-        r_seed, (batch_size,), 0, jnp.iinfo(jnp.int32).max
-    ).astype(jnp.uint32)
-    states = jax.vmap(env.init)(seeds)
+    """Self-play from caller-provided initial states (the sharded multi-chip
+    path passes states pre-placed over the mesh's data axis)."""
     done0 = jax.vmap(env.done)(states)
 
     def body(carry, _):
@@ -122,6 +119,40 @@ def self_play(
         outcome=outcome,
         winner=winner,
         num_moves=jnp.sum(valid.astype(jnp.int32), axis=0),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "env", "eval_fn", "batch_size", "iterations", "c",
+        "dirichlet_alpha", "dirichlet_epsilon", "temperature", "round_limit",
+    ),
+)
+def self_play(
+    env,
+    eval_fn,
+    params,
+    rng,
+    batch_size: int,
+    iterations: int = 100,
+    c: float = 2.0,
+    dirichlet_alpha: float = 0.3,
+    dirichlet_epsilon: float = 0.25,
+    temperature: float = 1.25,
+    round_limit: int = 400,
+) -> Trajectory:
+    rng, r_seed = jax.random.split(rng)
+    seeds = jax.random.randint(
+        r_seed, (batch_size,), 0, jnp.iinfo(jnp.int32).max
+    ).astype(jnp.uint32)
+    states = jax.vmap(env.init)(seeds)
+    return self_play_from_states(
+        env, eval_fn, params, states, rng,
+        iterations=iterations, c=c,
+        dirichlet_alpha=dirichlet_alpha,
+        dirichlet_epsilon=dirichlet_epsilon,
+        temperature=temperature, round_limit=round_limit,
     )
 
 

@@ -17,6 +17,11 @@ if os.environ.get("DIE_E_TEST_TPU", "0") != "1":
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # a PJRT plugin registered from sitecustomize (before conftest runs)
+    # can override JAX_PLATFORMS; the config update after import wins
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 # make the repo root importable (die_e_tpu, parity)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
