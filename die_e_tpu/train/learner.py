@@ -143,8 +143,13 @@ def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
         idx = perm[start : start + batch_size]
         w = np.ones(len(idx), np.float32)
         if len(idx) < batch_size:
+            # pad with wrapped REAL samples at zero weight: keeps the jit
+            # shape fixed without recompiling per remainder size, and keeps
+            # BatchNorm batch statistics on the data distribution (the
+            # padded rows do enter BN stats; the loss means are exact)
             pad = batch_size - len(idx)
-            idx = np.concatenate([idx, np.zeros(pad, idx.dtype)])
+            filler = perm[np.arange(pad) % n]
+            idx = np.concatenate([idx, filler])
             w = np.concatenate([w, np.zeros(pad, np.float32)])
         state, m = train_step(
             net, tx, state,

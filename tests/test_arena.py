@@ -1,0 +1,113 @@
+"""Arena / versus engine and game-record tests (reference src/versus.rs)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from die_e_tpu.arena.records import (
+    GameRecord,
+    Turn,
+    load_all_games,
+    load_game,
+    replay_game,
+    save_game,
+)
+from die_e_tpu.arena.versus import Agent, Player, play
+from die_e_tpu.core.config import MctsConfig
+from die_e_tpu.envs import tictactoe as ttt
+from die_e_tpu.nets.resnet import init_params, make_net
+from die_e_tpu.train.learner import net_eval_fn
+
+NET = make_net(ttt.SPEC)
+EVAL = net_eval_fn(NET)
+MCTS_CFG = MctsConfig(iterations=8, simulate_round_limit=9)
+
+
+class TestPlay:
+    def test_counts_sum_and_winrate(self):
+        res = play(
+            ttt.ENV, EVAL, Player(Agent.RANDOM), Player(Agent.RANDOM),
+            jax.random.PRNGKey(0), MCTS_CFG, num_games=16, round_limit=9,
+        )
+        assert res.wins_p1 + res.wins_p2 + res.draws == 16
+        assert res.winrate == res.wins_p1 / 16
+        assert res.n_games == 16
+
+    def test_half_games_open_with_skipped_turn(self):
+        """versus.rs:172-175: player 2 opens the second half of the batch."""
+        res = play(
+            ttt.ENV, EVAL, Player(Agent.MCTS), Player(Agent.RANDOM),
+            jax.random.PRNGKey(1), MCTS_CFG, num_games=8, round_limit=9,
+            record=True,
+        )
+        openers = [g.turns[0].player for g in res.games if g.turns]
+        # p1 (mcts, side -1) opens the first half; p2 (random) the second
+        assert set(openers) == {"mcts", "random"}
+
+    def test_mcts_beats_random(self):
+        res = play(
+            ttt.ENV, EVAL, Player(Agent.MCTS), Player(Agent.RANDOM),
+            jax.random.PRNGKey(2), MCTS_CFG, num_games=16, round_limit=9,
+        )
+        assert res.wins_p1 > res.wins_p2
+
+    def test_model_agent_runs(self):
+        variables = init_params(NET, jax.random.PRNGKey(3))
+        res = play(
+            ttt.ENV, EVAL, Player(Agent.MODEL, variables),
+            Player(Agent.RANDOM), jax.random.PRNGKey(4), MCTS_CFG,
+            num_games=8, round_limit=9,
+        )
+        assert res.n_games == 8
+
+
+class TestRecords:
+    def _mk_record(self):
+        state = ttt.init(jnp.uint32(0))
+        turns_log = [
+            (np.array([-1]), np.array([4]), None),
+            (np.array([1]), np.array([0]), None),
+            (np.array([-1]), np.array([8]), None),
+        ]
+        return GameRecord.from_arrays(
+            ttt.ENV, Agent.MCTS, Agent.RANDOM,
+            jax.tree_util.tree_map(lambda x: x[None], state),
+            turns_log, np.array([0]),
+        )[0]
+
+    def test_roundtrip(self, tmp_path):
+        rec = self._mk_record()
+        path = save_game(rec, tmp_path)
+        loaded = load_game(path)
+        assert loaded.id == rec.id
+        assert [t.action for t in loaded.turns] == [4, 0, 8]
+        assert loaded.player1 == "mcts" and loaded.player2 == "random"
+
+    def test_load_all(self, tmp_path):
+        for _ in range(3):
+            save_game(self._mk_record(), tmp_path)
+        assert len(load_all_games(tmp_path)) == 3
+
+    def test_replay_applies_moves(self, tmp_path):
+        """The reference's print_game never re-applies moves
+        (versus.rs:91-93) — ours must."""
+        rec = self._mk_record()
+        path = save_game(rec, tmp_path)
+        outputs = []
+        replay_game(ttt.ENV, path, ttt.pretty_str, wait_user_input=False,
+                    out=outputs.append)
+        boards = [o for o in outputs if "|" in o]
+        assert boards[0] != boards[-1]
+        assert "x" in boards[-1] and "o" in boards[-1]
+
+    def test_json_schema_fields(self, tmp_path):
+        """versus.rs:22-52 Game/Turn schema intent."""
+        path = save_game(self._mk_record(), tmp_path)
+        d = json.loads(path.read_text())
+        assert set(d) == {
+            "id", "game", "player1", "player2", "turns", "winner",
+            "initial_state",
+        }
+        assert set(d["turns"][0]) == {"roll", "action", "player"}

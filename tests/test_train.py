@@ -1,0 +1,250 @@
+"""Training-layer tests: loss math, optimizer parity with torch Adam,
+replay store, self-play trajectory invariants, checkpointing, gating."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from die_e_tpu.envs import tictactoe as ttt
+from die_e_tpu.nets.resnet import init_params, make_net
+from die_e_tpu.train.learner import (
+    create_train_state,
+    make_optimizer,
+    net_eval_fn,
+    train_epoch,
+    train_step,
+)
+from die_e_tpu.train.replay import (
+    Memory,
+    find_sp_dirs,
+    load_all_training_data,
+    load_training_data,
+    save_training_data,
+)
+from die_e_tpu.train.self_play import self_play, trajectory_to_memory
+
+NET = make_net(ttt.SPEC)
+TX = make_optimizer(1e-3, 1e-4)
+
+
+def _fake_batch(rng, n=8):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    obs = jax.random.normal(k1, (n, 3, 3, 3))
+    ps = jax.nn.softmax(jax.random.normal(k2, (n, 9)), -1)
+    outcome = jax.random.choice(k3, jnp.array([-1.0, 0.0, 1.0]), (n,))
+    weight = jnp.ones((n,))
+    return obs, ps, outcome, weight
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_repeated_batch(self):
+        state = create_train_state(NET, jax.random.PRNGKey(0))
+        obs, ps, outcome, w = _fake_batch(jax.random.PRNGKey(1), 16)
+        losses = []
+        for _ in range(10):
+            state, m = train_step(NET, TX, state, obs, ps, outcome, w)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+        assert not any(np.isnan(losses))
+
+    def test_zero_weight_rows_do_not_contribute(self):
+        state = create_train_state(NET, jax.random.PRNGKey(0))
+        obs, ps, outcome, w = _fake_batch(jax.random.PRNGKey(2), 8)
+        _, m_full = train_step(NET, TX, state, obs, ps, outcome, w)
+        # duplicate the batch with zero-weight copies appended (identical
+        # rows keep BatchNorm batch statistics unchanged, so the weighted
+        # loss must match exactly); fresh state — train_step donates it
+        state2 = create_train_state(NET, jax.random.PRNGKey(0))
+        obs2 = jnp.concatenate([obs, obs])
+        ps2 = jnp.concatenate([ps, ps])
+        out2 = jnp.concatenate([outcome, outcome])
+        w2 = jnp.concatenate([w, jnp.zeros_like(w)])
+        _, m_pad = train_step(NET, TX, state2, obs2, ps2, out2, w2)
+        np.testing.assert_allclose(
+            float(m_full["loss"]), float(m_pad["loss"]), rtol=1e-5
+        )
+
+    def test_nan_input_raises_in_epoch(self):
+        state = create_train_state(NET, jax.random.PRNGKey(0))
+        obs = jnp.full((4, 3, 3, 3), jnp.nan)
+        ps = jnp.ones((4, 9)) / 9
+        outcome = jnp.zeros((4,))
+        with pytest.raises(FloatingPointError):
+            train_epoch(
+                NET, TX, state, jax.random.PRNGKey(0),
+                np.asarray(obs), np.asarray(ps), np.asarray(outcome), 4,
+            )
+
+
+class TestOptimizerParity:
+    def test_matches_torch_adam_with_weight_decay(self):
+        """tch's Adam::default().wd(wd) (reference alphazero.rs:102) is
+        torch Adam's *coupled* weight decay.  The optax chain must produce
+        bit-comparable updates on a toy problem."""
+        torch = pytest.importorskip("torch")
+
+        w0 = np.array([0.5, -1.2, 2.0], np.float32)
+        grads = [np.array([0.1, -0.2, 0.3], np.float32),
+                 np.array([-0.05, 0.15, 0.2], np.float32)]
+        lr, wd = 1e-2, 1e-2
+
+        # torch
+        tp = torch.nn.Parameter(torch.tensor(w0))
+        opt = torch.optim.Adam([tp], lr=lr, weight_decay=wd)
+        for g in grads:
+            opt.zero_grad()
+            tp.grad = torch.tensor(g)
+            opt.step()
+        torch_result = tp.detach().numpy()
+
+        # optax
+        tx = make_optimizer(lr, wd)
+        params = jnp.asarray(w0)
+        opt_state = tx.init(params)
+        for g in grads:
+            updates, opt_state = tx.update(jnp.asarray(g), opt_state, params)
+            params = params + updates
+        np.testing.assert_allclose(np.asarray(params), torch_result, rtol=1e-5)
+
+
+class TestReplayStore:
+    def test_roundtrip(self, tmp_path):
+        mem = Memory(
+            states=np.random.rand(5, 3, 3, 3).astype(np.float32),
+            ps=np.random.rand(5, 9).astype(np.float32),
+            outcomes=np.array([1, -1, 0, 1, -1], np.float32),
+        )
+        save_training_data(mem, tmp_path / "sp-0")
+        loaded = load_training_data(tmp_path / "sp-0")
+        np.testing.assert_array_equal(loaded.states, mem.states)
+        np.testing.assert_array_equal(loaded.ps, mem.ps)
+        np.testing.assert_array_equal(loaded.outcomes, mem.outcomes)
+
+    def test_find_sp_dirs_recursive(self, tmp_path):
+        """main.rs:218-231 directory walk semantics."""
+        for run in ("run-a", "run-b"):
+            for lrn in ("lrn-0", "lrn-1"):
+                for sp in ("sp-0", "sp-1"):
+                    (tmp_path / run / lrn / sp).mkdir(parents=True)
+        dirs = list(find_sp_dirs(tmp_path))
+        assert len(dirs) == 8
+        assert all(d.name.startswith("sp-") for d in dirs)
+        # pointing at a single sp dir yields exactly it
+        assert list(find_sp_dirs(tmp_path / "run-a" / "lrn-0" / "sp-1")) == [
+            tmp_path / "run-a" / "lrn-0" / "sp-1"
+        ]
+
+    def test_load_all_concatenates(self, tmp_path):
+        m = Memory(
+            states=np.zeros((2, 3, 3, 3), np.float32),
+            ps=np.zeros((2, 9), np.float32),
+            outcomes=np.zeros((2,), np.float32),
+        )
+        save_training_data(m, tmp_path / "lrn-0" / "sp-0")
+        save_training_data(m, tmp_path / "lrn-0" / "sp-1")
+        allm = load_all_training_data(tmp_path)
+        assert len(allm) == 4
+
+    def test_missing_data_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            load_training_data(tmp_path / "nope")
+
+
+class TestSelfPlay:
+    def _run(self, seed=0):
+        eval_fn = net_eval_fn(NET)
+        variables = init_params(NET, jax.random.PRNGKey(0))
+        return self_play(
+            ttt.ENV, eval_fn, variables, jax.random.PRNGKey(seed),
+            batch_size=8, iterations=16, c=2.0, temperature=1.25,
+            round_limit=9,
+        )
+
+    def test_trajectory_invariants(self):
+        traj = self._run()
+        valid = np.asarray(traj.valid)
+        player = np.asarray(traj.player)
+        outcome = np.asarray(traj.outcome)
+        winner = np.asarray(traj.winner)
+        assert set(np.unique(winner)).issubset({-1, 0, 1})
+        # outcome relabeling: winner from each fragment's player perspective
+        # (alpha_parallel.rs:215-223)
+        np.testing.assert_array_equal(outcome, winner[None, :] * player)
+        # every game has at least one recorded move
+        assert (valid.sum(0) >= 1).all()
+        # ttt games never exceed 9 moves
+        assert (valid.sum(0) <= 9).all()
+
+    def test_probs_are_temperature_powers(self):
+        traj = self._run()
+        probs = np.asarray(traj.probs)
+        valid = np.asarray(traj.valid)
+        # rows are pi^(1/1.25) of a normalized distribution: sums in (0, 9]
+        sums = probs.reshape(-1, 9).sum(-1)[valid.reshape(-1)]
+        assert (sums > 0).all()
+
+    def test_deterministic(self):
+        t1, t2 = self._run(7), self._run(7)
+        np.testing.assert_array_equal(np.asarray(t1.winner), np.asarray(t2.winner))
+        np.testing.assert_array_equal(np.asarray(t1.probs), np.asarray(t2.probs))
+
+    def test_memory_extraction(self):
+        traj = self._run()
+        obs, ps, outcome = trajectory_to_memory(traj)
+        n = int(np.asarray(traj.valid).sum())
+        assert obs.shape == (n, 3, 3, 3)
+        assert ps.shape == (n, 9)
+        assert outcome.shape == (n,)
+
+
+class TestCheckpoint:
+    def test_variables_roundtrip(self, tmp_path):
+        from die_e_tpu.train import checkpoint as ckpt
+
+        variables = init_params(NET, jax.random.PRNGKey(3))
+        ckpt.save_variables(variables, tmp_path / "m")
+        restored = ckpt.restore_variables(tmp_path / "m", variables)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(variables),
+            jax.tree_util.tree_leaves(restored),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_bootstrap_order(self, tmp_path):
+        """explicit path > best model > scratch (alphazero.rs:86-100)."""
+        from die_e_tpu.train import checkpoint as ckpt
+
+        rng = jax.random.PRNGKey(4)
+        _, src = ckpt.bootstrap_variables(NET, rng, "tictactoe", None,
+                                          str(tmp_path))
+        assert src == "scratch"
+        variables = init_params(NET, rng)
+        best = ckpt.best_model_path("tictactoe", str(tmp_path))
+        ckpt.save_variables(variables, best)
+        _, src = ckpt.bootstrap_variables(NET, rng, "tictactoe", None,
+                                          str(tmp_path))
+        assert src == str(best)
+        explicit = tmp_path / "explicit"
+        ckpt.save_variables(variables, explicit)
+        _, src = ckpt.bootstrap_variables(NET, rng, "tictactoe",
+                                          str(explicit), str(tmp_path))
+        assert src == str(explicit)
+
+
+class TestGating:
+    def test_first_gate_promotes(self, tmp_path):
+        from die_e_tpu.core.config import ArenaConfig, MctsConfig
+        from die_e_tpu.train import checkpoint as ckpt
+        from die_e_tpu.train.gating import gate
+
+        variables = init_params(NET, jax.random.PRNGKey(5))
+        promoted = gate(
+            ttt.ENV, NET, net_eval_fn(NET), variables, jax.random.PRNGKey(0),
+            MctsConfig(iterations=4), ArenaConfig(num_games=4, round_limit=9),
+            temperature=1.25, models_base=str(tmp_path),
+        )
+        assert promoted
+        assert ckpt.best_model_path("tictactoe", str(tmp_path)).exists()
