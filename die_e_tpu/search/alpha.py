@@ -46,12 +46,16 @@ from flax import struct
 
 from die_e_tpu.search.tree import (
     Tree,
-    UNVISITED,
     allocate,
     backprop,
+    children_of,
+    allocated_action_mask,
     gather_states,
     init_tree,
+    node_field,
+    prior_row,
     root_visit_probs,
+    set_prior_row,
 )
 
 
@@ -80,41 +84,63 @@ def _dirichlet_legal(rng, alpha, legal):
     return g / jnp.maximum(jnp.sum(g, axis=-1, keepdims=True), 1e-30)
 
 
-def puct_scores(tree: Tree, cur, c: float):
-    """[B, A] PUCT scores of ``cur``'s children (alpha_ucb,
-    src/mcts/node.rs:98-112); illegal actions -inf."""
-    b = jnp.arange(tree.batch_size)
-    p = tree.prior[b, cur]
-    legal = p >= 0.0
-    child = tree.children[b, cur]
-    cidx = jnp.clip(child, 0)
-    cv = jnp.where(child != UNVISITED, tree.visits[b[:, None], cidx], 0.0)
-    cs = jnp.where(child != UNVISITED, tree.value_sum[b[:, None], cidx], 0.0)
-    q = jnp.where(cv > 0, cs / jnp.maximum(cv, 1e-9), 0.0)
-    u = c * jnp.sqrt(tree.visits[b, cur])[:, None] / (cv + 1.0) * jnp.maximum(p, 0.0)
-    return jnp.where(legal, q + u, -jnp.inf)
-
-
 def select_and_allocate(tree: Tree, env, c: float):
     """Descend every game from its root by PUCT until an unexpanded node,
     materializing first-visited children on the way (alpha_select_leaf_node,
-    src/mcts/alpha_mcts.rs:14-20, with deferred allocation — see tree.py)."""
-    b = jnp.arange(tree.batch_size)
+    src/mcts/alpha_mcts.rs:14-20, with deferred allocation — see tree.py).
+
+    PUCT score q + c * sqrt(parent_visits) / (child_visits + 1) * prior
+    (alpha_ucb, src/mcts/node.rs:98-112).  Materialized children are scored
+    on [B, N] node arrays (their edge prior was recorded at allocation);
+    unmaterialized children have q = 0, visits = 0, so their score is
+    c * sqrt(parent_visits) * prior, computed on the [B, A] prior row.
+    """
     cur0 = jnp.zeros((tree.batch_size,), jnp.int32)
+
+    def expanded_at(tree, cur):
+        return node_field(tree, tree.expanded.astype(jnp.int32), cur) > 0
 
     def cond(carry):
         tree, cur = carry
-        return jnp.any(tree.expanded[b, cur])
+        return jnp.any(expanded_at(tree, cur))
 
     def body(carry):
         tree, cur = carry
-        active = tree.expanded[b, cur]
-        scores = puct_scores(tree, cur, c)
-        a_star = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-        nxt = tree.children[b, cur, a_star]
-        need_alloc = active & (nxt == UNVISITED)
-        tree, new_idx = allocate(tree, env, cur, a_star, need_alloc)
-        nxt = jnp.where(need_alloc, new_idx, nxt)
+        active = expanded_at(tree, cur)
+        p_row = prior_row(tree, cur)                       # [B, A]
+        vc = node_field(tree, tree.visits, cur)            # [B]
+        explore = c * jnp.sqrt(vc)
+
+        # materialized children: score on [B, N]
+        is_child = children_of(tree, cur)
+        q = jnp.where(
+            tree.visits > 0,
+            tree.value_sum / jnp.maximum(tree.visits, 1e-9),
+            0.0,
+        )
+        u = explore[:, None] / (tree.visits + 1.0) * tree.edge_prior
+        score_n = jnp.where(is_child, q + u, -jnp.inf)
+        best_n = jnp.argmax(score_n, axis=-1).astype(jnp.int32)
+        best_n_score = jnp.max(score_n, axis=-1)
+
+        # unmaterialized children: score on [B, A]
+        taken = allocated_action_mask(tree, cur)
+        legal = p_row >= 0.0
+        score_a = explore[:, None] * jnp.maximum(p_row, 0.0)
+        score_a = jnp.where(legal & (~taken), score_a, -jnp.inf)
+        best_a = jnp.argmax(score_a, axis=-1).astype(jnp.int32)
+        best_a_score = jnp.max(score_a, axis=-1)
+
+        choose_new = best_a_score > best_n_score
+        edge_p = jnp.sum(
+            jnp.where(best_a[:, None] == jnp.arange(tree.num_actions)[None, :],
+                      jnp.maximum(p_row, 0.0), 0.0),
+            axis=-1,
+        )
+        tree, new_idx = allocate(
+            tree, env, cur, best_a, edge_p, active & choose_new
+        )
+        nxt = jnp.where(choose_new, new_idx, best_n)
         cur = jnp.where(active, nxt, cur)
         return tree, cur
 
@@ -124,12 +150,7 @@ def select_and_allocate(tree: Tree, env, c: float):
 def expand(tree: Tree, leaf, prior_rows, mask) -> Tree:
     """Install priors at ``leaf`` and mark expanded (alpha_expand_tensor,
     src/mcts/node.rs:157-174, without materializing the children)."""
-    b = jnp.arange(tree.batch_size)
-    safe = jnp.where(mask, leaf, jnp.int32(2**30))
-    return tree.replace(
-        prior=tree.prior.at[b, safe].set(prior_rows, mode="drop"),
-        expanded=tree.expanded.at[b, safe].set(True, mode="drop"),
-    )
+    return set_prior_row(tree, leaf, prior_rows, mask)
 
 
 @partial(jax.jit, static_argnames=("env", "eval_fn", "iterations", "c",
@@ -152,7 +173,6 @@ def alpha_search(
     module-level function (it is a static jit arg); ``params`` is traced so
     weight updates never trigger recompilation.
     """
-    b_range = jnp.arange(jax.tree_util.tree_leaves(states)[0].shape[0])
     tree = init_tree(env, states, capacity=iterations + 1)
 
     # --- root: batched policy + per-game Dirichlet over legal actions
@@ -177,8 +197,8 @@ def alpha_search(
         legal = jax.vmap(env.legal_mask)(leaf_states)
         prior_rows = _masked_renorm(policy, legal)
 
-        is_term = tree.node_done[b_range, leaf]
-        w = tree.node_winner[b_range, leaf]
+        is_term = node_field(tree, tree.node_done.astype(jnp.int32), leaf) > 0
+        w = node_field(tree, tree.node_winner, leaf)
         term_val = jnp.where(
             w == root_player, 1.0, jnp.where(w == -root_player, -1.0, 0.0)
         )

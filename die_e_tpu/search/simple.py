@@ -6,7 +6,8 @@ child per iteration, evaluate it with a uniformly random rollout capped at
 ``simulate_round_limit``, and backpropagate; the final move is the root child
 with most visits (select_most_visits, simple_mcts.rs:71-86).  The reference
 runs one tree per CPU thread via rayon (src/versus.rs:303-306); here all B
-games run in lockstep as array-tree ops under jit.
+games run in lockstep as array-tree ops under jit (see tree.py for the
+node-matching layout that avoids dynamic gathers).
 
 Semantics mirrored exactly:
 
@@ -20,10 +21,15 @@ Semantics mirrored exactly:
 * Terminal leaves backprop the winner scored against the search player
   (mct_search, simple_mcts.rs:21-28).
 
-Documented divergence (reference quirk consciously fixed, SURVEY.md
-section 7): the rollout checks the winner of the EVOLVING playout state each
-step; the reference checks the never-changing start state (node.rs:181), so
-its rollouts always run to the round limit and return 0.
+Documented divergences (reference quirks consciously fixed, SURVEY.md
+section 7):
+
+* the rollout checks the winner of the EVOLVING playout state each step;
+  the reference checks the never-changing start state (node.rs:181), so its
+  rollouts always run to the round limit and return 0.
+* the UCB exploitation term is sign-flipped at opponent decision nodes;
+  the reference maximizes the root player's accumulated value at EVERY
+  level, so its opponents cooperate and it cannot block threats.
 """
 
 from __future__ import annotations
@@ -34,61 +40,35 @@ import jax
 import jax.numpy as jnp
 
 from die_e_tpu.search.tree import (
-    UNVISITED,
     Tree,
     allocate,
     backprop,
+    children_of,
     gather_states,
     init_tree,
+    node_field,
+    prior_row,
     root_visit_probs,
+    set_prior_row,
 )
 
 
-def _legal_row(env, states):
+def _legal_rows(env, states):
     """[B, A] legality encoded in the prior slot: 1.0 legal / -1.0 illegal."""
     legal = jax.vmap(env.legal_mask)(states)
     return jnp.where(legal, 1.0, -1.0)
 
 
-def ucb_scores(tree: Tree, cur, c: float, sign):
-    """[B, A] UCB1 of ``cur``'s children (node.rs:86-96); only meaningful on
-    created children (others -inf).
-
-    ``sign`` [B] is +1 when the player to move at ``cur`` is the search
-    (root) player, -1 otherwise.  Documented divergence (quirk consciously
-    fixed): values are accumulated from the root player's perspective with
-    uniform backprop (simple_mcts.rs:96-103), and the reference maximizes
-    them at EVERY level — opponent decision nodes cooperate with the root
-    player, so the reference's pure MCTS cannot block threats.  Flipping the
-    exploitation term at opponent nodes restores minimax play.
-    """
-    b = jnp.arange(tree.batch_size)
-    child = tree.children[b, cur]
-    created = child != UNVISITED
-    cidx = jnp.clip(child, 0)
-    cv = jnp.where(created, tree.visits[b[:, None], cidx], 1.0)
-    cs = jnp.where(created, tree.value_sum[b[:, None], cidx], 0.0)
-    exploit = sign[:, None] * cs / jnp.maximum(cv, 1e-9)
-    pv = jnp.maximum(tree.visits[b, cur], 1.0)[:, None]
-    explore = jnp.sqrt(c * jnp.log(pv) / jnp.maximum(cv, 1e-9))
-    return jnp.where(created, exploit + explore, -jnp.inf)
-
-
-def _num_legal(tree: Tree, cur):
-    b = jnp.arange(tree.batch_size)
-    return jnp.sum(tree.prior[b, cur] >= 0.0, axis=-1).astype(jnp.int32)
-
-
 def _select_leaf(tree: Tree, env, c: float, root_player):
-    """Descend by UCB1 until a node with unexpanded moves (or terminal)."""
-    b = jnp.arange(tree.batch_size)
+    """Descend by UCB1 until a node with unexpanded moves (or terminal).
+    All scoring happens on [B, N] node arrays via the parent==cur match."""
     cur0 = jnp.zeros((tree.batch_size,), jnp.int32)
 
     def fully_expanded(tree, cur):
-        nl = _num_legal(tree, cur)
-        return (nl > 0) & (tree.num_expanded[b, cur] >= nl) & (
-            ~tree.node_done[b, cur]
-        )
+        nl = node_field(tree, tree.num_legal, cur)
+        ne = node_field(tree, tree.num_expanded, cur)
+        done = node_field(tree, tree.node_done.astype(jnp.int32), cur) > 0
+        return (nl > 0) & (ne >= nl) & (~done)
 
     def cond(carry):
         tree, cur = carry
@@ -99,11 +79,15 @@ def _select_leaf(tree: Tree, env, c: float, root_player):
         active = fully_expanded(tree, cur)
         cur_player = jax.vmap(env.player)(gather_states(tree, cur))
         sign = (cur_player == root_player).astype(jnp.float32) * 2.0 - 1.0
-        a_star = jnp.argmax(
-            ucb_scores(tree, cur, c, sign), axis=-1
-        ).astype(jnp.int32)
-        nxt = tree.children[b, cur, a_star]
-        cur = jnp.where(active & (nxt != UNVISITED), nxt, cur)
+        pv = jnp.maximum(node_field(tree, tree.visits, cur), 1.0)
+
+        is_child = children_of(tree, cur)
+        cv = jnp.maximum(tree.visits, 1e-9)
+        exploit = sign[:, None] * tree.value_sum / cv
+        explore = jnp.sqrt(c * jnp.log(pv)[:, None] / cv)
+        score_n = jnp.where(is_child, exploit + explore, -jnp.inf)
+        nxt = jnp.argmax(score_n, axis=-1).astype(jnp.int32)
+        cur = jnp.where(active, nxt, cur)
         return tree, cur
 
     _, cur = jax.lax.while_loop(cond, body, (tree, cur0))
@@ -114,12 +98,11 @@ def _next_expand_action(tree: Tree, cur):
     """The num_expanded-th legal action in DESCENDING index order — the
     reference pops from the end of get_valid_moves()
     (expandable_moves.pop(), node.rs:121)."""
-    b = jnp.arange(tree.batch_size)
-    legal = tree.prior[b, cur] >= 0.0  # [B, A]
+    legal = prior_row(tree, cur) >= 0.0  # [B, A]
     # rank_from_top[a] = number of legal actions with index > a
     rev_cum = jnp.cumsum(legal[:, ::-1], axis=-1)[:, ::-1]
     rank_from_top = rev_cum - legal.astype(rev_cum.dtype)
-    k = tree.num_expanded[b, cur][:, None]
+    k = node_field(tree, tree.num_expanded, cur)[:, None]
     pick = legal & (rank_from_top == k)
     return jnp.argmax(pick, axis=-1).astype(jnp.int32), jnp.any(pick, axis=-1)
 
@@ -128,7 +111,6 @@ def _rollout(env, states, rng, player, sim_limit: int):
     """Uniform random playout value vs ``player`` (simulate, node.rs:176-196;
     evolving-state winner check is the documented fix).  Returns [B] in
     {-1, 0, +1}; 0 at the round limit (draw)."""
-    b_shape = jax.vmap(env.player)(states).shape
 
     def cond(carry):
         _, _, done, step = carry
@@ -140,8 +122,6 @@ def _rollout(env, states, rng, player, sim_limit: int):
         legal = jax.vmap(env.legal_mask)(states)
         logits = jnp.where(legal, 0.0, -jnp.inf)
         action = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
-        # noop layering: a game with no legal action has the noop bit set by
-        # the env (backgammon) or is terminal (ttt); frozen games keep state
         next_states = jax.vmap(env.step)(states, action)
         states = jax.tree_util.tree_map(
             lambda old, new: jnp.where(
@@ -179,31 +159,37 @@ def simple_search(
     """
     b = jnp.arange(jax.tree_util.tree_leaves(states)[0].shape[0])
     tree = init_tree(env, states, capacity=iterations + 1)
-    root = jnp.zeros_like(tree.node_count)
-    tree = tree.replace(prior=tree.prior.at[:, 0].set(_legal_row(env, states)))
+    tree = set_prior_row(
+        tree,
+        jnp.zeros((tree.batch_size,), jnp.int32),
+        _legal_rows(env, states),
+        jnp.ones((tree.batch_size,), bool),
+    )
     player = jax.vmap(env.player)(states)
 
     def body(i, carry):
         tree, rng = carry
         rng, r_expand = jax.random.split(rng)
         leaf = _select_leaf(tree, env, c, player)
-        is_term = tree.node_done[b, leaf]
-        w = tree.node_winner[b, leaf]
+        is_term = node_field(tree, tree.node_done.astype(jnp.int32), leaf) > 0
+        w = node_field(tree, tree.node_winner, leaf)
         term_val = jnp.where(w == player, 1.0, jnp.where(w == -player, -1.0, 0.0))
 
         # expand one child for non-terminal leaves (node.rs:118-137)
         action, can_expand = _next_expand_action(tree, leaf)
         do_expand = can_expand & ~is_term
-        tree, new_idx = allocate(tree, env, leaf, action, do_expand)
-        safe = jnp.where(do_expand, leaf, jnp.int32(2**30))
+        tree, new_idx = allocate(
+            tree, env, leaf, action, jnp.zeros_like(term_val), do_expand
+        )
+        oh_leaf = leaf[:, None] == jnp.arange(tree.capacity)[None, :]
         tree = tree.replace(
-            num_expanded=tree.num_expanded.at[b, safe].add(1, mode="drop")
+            num_expanded=tree.num_expanded
+            + (oh_leaf & do_expand[:, None]).astype(jnp.int32)
         )
         # record the new node's legality for its own later expansion
-        new_states = gather_states(tree, jnp.where(do_expand, new_idx, leaf))
-        row = _legal_row(env, new_states)
-        safe_new = jnp.where(do_expand, new_idx, jnp.int32(2**30))
-        tree = tree.replace(prior=tree.prior.at[b, safe_new].set(row, mode="drop"))
+        target = jnp.where(do_expand, new_idx, leaf)
+        new_states = gather_states(tree, target)
+        tree = set_prior_row(tree, target, _legal_rows(env, new_states), do_expand)
 
         # evaluate: rollout from the new child, or terminal value at leaf
         sim_val = _rollout(env, new_states, r_expand, player, simulate_round_limit)

@@ -4,17 +4,29 @@ TPU-native replacement for the reference's heap tree: ``Node`` structs
 (reference src/mcts/node.rs:9-19) in a flat ``NodeStore`` arena
 (reference src/mcts/node_store.rs:9-94) walked on the CPU with per-iteration
 host<->device round-trips (reference src/mcts/alpha_mcts.rs:149-200).  Here
-the whole search state is a stack of ``[B, N]`` / ``[B, N, A]`` device arrays
-over B lockstep games with node capacity N, so select/expand/backprop are
-fused into one jitted loop with zero host traffic.
+the whole search state is a stack of ``[B, N]`` device arrays over B
+lockstep games with node capacity N, so select/expand/backprop are fused
+into one jitted loop with zero host traffic.
 
-Key structural difference vs the reference: the reference materializes every
-legal child as a Node at expansion (alpha_expand, node.rs:139-174) — hundreds
-of heap nodes per expansion for backgammon.  Here children statistics live on
-the parent's edges (``prior``/``children`` tables); a node is materialized
-only when first *visited*, so capacity ``N = iterations + 1`` suffices and
-HBM stays bounded.  Search semantics (PUCT scores, visit counts) are
-unchanged because an unvisited reference child always has visits=0, value=0.
+Two structural differences vs the reference, both driven by measured TPU
+cost cliffs (dynamic per-element gathers/scatters are ~10-60ms per op at
+this scale; masked reductions over the small N axis fuse and cost ~0.1ms):
+
+* children statistics live on the NODES, and a node's children are found
+  by matching ``parent == cur`` over the [B, N] axis — there is NO
+  [B, N, A] children-index table at all.  The prior of the edge leading to
+  a node is recorded at allocation (``edge_prior``), so PUCT for
+  materialized children runs entirely on [B, N] arrays; only unvisited
+  children need the [B, A] prior row of the current node (one masked
+  reduction over N).
+* a node is materialized only when first *visited*; the reference
+  materializes every legal child at expansion (alpha_expand,
+  node.rs:139-174).  Search semantics (PUCT scores, visit counts) are
+  unchanged because an unvisited reference child always has visits=0,
+  value=0, so capacity ``N = iterations + 1`` suffices.
+
+The only [B, N, A]-sized array is ``prior`` (one row written per
+expansion, one row read per selection level).
 """
 
 from __future__ import annotations
@@ -33,17 +45,17 @@ UNVISITED = jnp.int32(-1)
 class Tree:
     """Stacked search tree over B games, N node slots, A actions.
 
-    prior[b, n, a] is the masked+renormalized policy prior of action ``a`` at
-    node ``n`` (reference turn_policy_to_probs_tensor_parallel semantics,
+    prior[b, n, a] is the masked+renormalized policy prior of action ``a``
+    at node ``n`` (reference turn_policy_to_probs_tensor_parallel semantics,
     src/mcts/utils.rs:60-72) with the sentinel -1.0 marking illegal actions;
     it is only meaningful once ``expanded[b, n]``.  For the pure-rollout
     search (no NN priors) the same slot stores legality (1.0 legal / -1.0
     illegal).
     """
 
-    parent: jnp.ndarray       # [B, N] i32, NO_PARENT for root
+    parent: jnp.ndarray       # [B, N] i32, NO_PARENT for root / free slots
     action: jnp.ndarray       # [B, N] i32 action leading here from parent
-    children: jnp.ndarray     # [B, N, A] i32 node index, UNVISITED if none
+    edge_prior: jnp.ndarray   # [B, N] f32 prior of the edge into this node
     prior: jnp.ndarray        # [B, N, A] f32, -1.0 = illegal
     visits: jnp.ndarray       # [B, N] f32
     value_sum: jnp.ndarray    # [B, N] f32
@@ -51,6 +63,7 @@ class Tree:
     node_done: jnp.ndarray    # [B, N] bool — game over at this node
     node_winner: jnp.ndarray  # [B, N] i32 — winner at this node (0 = none/draw)
     num_expanded: jnp.ndarray  # [B, N] i32 — children created (rollout search)
+    num_legal: jnp.ndarray    # [B, N] i32 — legal actions (set with the prior)
     node_count: jnp.ndarray   # [B] i32 — allocated nodes per game
     states: Any               # env-state pytree, leaves [B, N, ...]
 
@@ -64,12 +77,18 @@ class Tree:
 
     @property
     def num_actions(self):
-        return self.children.shape[2]
+        return self.prior.shape[2]
+
+
+def node_onehot(tree: Tree, idx):
+    """[B, N] one-hot of a per-game node index (the workhorse: every node
+    addressing op is a masked reduction/update against this)."""
+    n = jnp.arange(tree.capacity)
+    return idx[:, None] == n[None, :]
 
 
 def init_tree(env, states, capacity: int) -> Tree:
-    """Preallocate the tree with root nodes (slot 0) holding ``states``
-    (leaves of the batched env-state pytree, leading dim B)."""
+    """Preallocate the tree with root nodes (slot 0) holding ``states``."""
     first = jax.tree_util.tree_leaves(states)[0]
     b = first.shape[0]
     n = capacity
@@ -85,62 +104,119 @@ def init_tree(env, states, capacity: int) -> Tree:
     return Tree(
         parent=jnp.full((b, n), NO_PARENT),
         action=jnp.full((b, n), jnp.int32(-1)),
-        children=jnp.full((b, n, a), UNVISITED),
-        prior=jnp.full((b, n, a), -1.0, jnp.float32),
+        edge_prior=jnp.zeros((b, n), jnp.float32),
+        # bf16: the prior store is the only [B,N,A] array and its one-hot
+        # row scans dominate search bandwidth; PUCT ranking tolerates the
+        # reduced mantissa (probabilities, compared within ~1e-2)
+        prior=jnp.full((b, n, a), -1.0, jnp.bfloat16),
         visits=jnp.zeros((b, n), jnp.float32),
         value_sum=jnp.zeros((b, n), jnp.float32),
         expanded=jnp.zeros((b, n), bool),
         node_done=jnp.zeros((b, n), bool).at[:, 0].set(done),
         node_winner=jnp.zeros((b, n), jnp.int32).at[:, 0].set(winner),
         num_expanded=jnp.zeros((b, n), jnp.int32),
+        num_legal=jnp.zeros((b, n), jnp.int32),
         node_count=jnp.ones((b,), jnp.int32),
         states=stacked,
     )
 
 
+def _reduce_at(leaf, oh):
+    """Σ_n leaf[b, n, ...] * oh[b, n] without a dynamic gather."""
+    ohx = oh.reshape(oh.shape + (1,) * (leaf.ndim - 2))
+    return jnp.sum(jnp.where(ohx, leaf, jnp.zeros((), leaf.dtype)), axis=1)
+
+
 def gather_states(tree: Tree, idx):
     """states of node ``idx`` [B] -> pytree with leaves [B, ...]."""
-    b = jnp.arange(tree.batch_size)
-    return jax.tree_util.tree_map(lambda leaf: leaf[b, idx], tree.states)
+    oh = node_onehot(tree, idx)
+    return jax.tree_util.tree_map(lambda leaf: _reduce_at(leaf, oh), tree.states)
 
 
-def write_states(tree_states, b_idx, node_idx, new_states, mask):
-    """Scatter ``new_states`` into slot ``node_idx`` for games where ``mask``;
-    masked-off games write out of bounds and are dropped."""
-    safe_idx = jnp.where(mask, node_idx, jnp.int32(2**30))
-    return jax.tree_util.tree_map(
-        lambda leaf, s: leaf.at[b_idx, safe_idx].set(s, mode="drop"),
-        tree_states,
-        new_states,
-    )
+def node_field(tree: Tree, field, idx):
+    """field[b, idx[b]] for a [B, N] field, as a masked reduction."""
+    oh = node_onehot(tree, idx)
+    return _reduce_at(field, oh)
 
 
-def allocate(tree: Tree, env, parent_idx, action_idx, mask) -> tuple:
+def write_states(tree_states, oh, new_states, mask):
+    """Overwrite the node slots marked by ``oh`` (per-game one-hot) with
+    ``new_states`` where ``mask``."""
+    sel = oh & mask[:, None]
+
+    def upd(leaf, s):
+        selx = sel.reshape(sel.shape + (1,) * (leaf.ndim - 2))
+        sx = s.reshape(s.shape[:1] + (1,) + s.shape[1:])
+        return jnp.where(selx, sx.astype(leaf.dtype), leaf)
+
+    return jax.tree_util.tree_map(upd, tree_states, new_states)
+
+
+def allocate(tree: Tree, env, parent_idx, action_idx, edge_p, mask) -> tuple:
     """Materialize the child reached from ``parent_idx`` via ``action_idx``
     for games where ``mask``; returns (tree, new_node_idx [B]).
 
-    Equivalent to the reference's NodeStore::add_node at first visit
-    (node_store.rs:24-43) — but deferred to selection time (see module doc).
+    ``edge_p`` is the prior of the traversed edge, recorded on the node so
+    PUCT never has to look it up again.  Equivalent to the reference's
+    NodeStore::add_node at first visit (node_store.rs:24-43).
     """
-    b = jnp.arange(tree.batch_size)
     new_idx = tree.node_count
+    oh_new = node_onehot(tree, new_idx)
+    sel = oh_new & mask[:, None]
     parent_states = gather_states(tree, parent_idx)
     child_states = jax.vmap(env.step)(parent_states, action_idx)
     done = jax.vmap(env.done)(child_states)
     winner = jax.vmap(env.winner)(child_states)
-    safe = jnp.where(mask, new_idx, jnp.int32(2**30))
     tree = tree.replace(
-        parent=tree.parent.at[b, safe].set(parent_idx, mode="drop"),
-        action=tree.action.at[b, safe].set(action_idx, mode="drop"),
-        children=tree.children.at[b, parent_idx, action_idx].set(
-            jnp.where(mask, new_idx, tree.children[b, parent_idx, action_idx])
-        ),
-        node_done=tree.node_done.at[b, safe].set(done, mode="drop"),
-        node_winner=tree.node_winner.at[b, safe].set(winner, mode="drop"),
+        parent=jnp.where(sel, parent_idx[:, None], tree.parent),
+        action=jnp.where(sel, action_idx[:, None], tree.action),
+        edge_prior=jnp.where(sel, edge_p[:, None], tree.edge_prior),
+        node_done=jnp.where(sel, done[:, None], tree.node_done),
+        node_winner=jnp.where(sel, winner[:, None], tree.node_winner),
         node_count=tree.node_count + mask.astype(jnp.int32),
-        states=write_states(tree.states, b, new_idx, child_states, mask),
+        states=write_states(tree.states, oh_new, child_states, mask),
     )
     return tree, new_idx
+
+
+def prior_row(tree: Tree, idx):
+    """[B, A] prior row of node ``idx`` — the per-level [B,N,A] reduction."""
+    oh = node_onehot(tree, idx)
+    zero = jnp.zeros((), tree.prior.dtype)
+    return jnp.sum(
+        jnp.where(oh[:, :, None], tree.prior, zero), axis=1
+    ).astype(jnp.float32)
+
+
+def set_prior_row(tree: Tree, idx, rows, mask) -> Tree:
+    """Install ``rows`` as node ``idx``'s prior and mark it expanded
+    (alpha_expand_tensor, src/mcts/node.rs:157-174, without materializing
+    the children)."""
+    oh = node_onehot(tree, idx)
+    sel = oh & mask[:, None]
+    nl = jnp.sum(rows >= 0.0, axis=-1).astype(jnp.int32)
+    return tree.replace(
+        prior=jnp.where(
+            sel[:, :, None], rows[:, None, :].astype(tree.prior.dtype), tree.prior
+        ),
+        expanded=jnp.where(sel, True, tree.expanded),
+        num_legal=jnp.where(sel, nl[:, None], tree.num_legal),
+    )
+
+
+def children_of(tree: Tree, idx):
+    """[B, N] bool — materialized children of node ``idx``."""
+    return tree.parent == idx[:, None]
+
+
+def allocated_action_mask(tree: Tree, idx):
+    """[B, A] bool — actions of ``idx`` that already have a materialized
+    child (one one-hot-over-A contraction against the small [B, N] arrays).
+    """
+    is_child = children_of(tree, idx)
+    a = jnp.arange(tree.num_actions)
+    oh_a = (tree.action[:, :, None] == a[None, None, :]) & is_child[:, :, None]
+    return jnp.any(oh_a, axis=1)
 
 
 def backprop(tree: Tree, leaf_idx, value, mask=None) -> Tree:
@@ -149,8 +225,8 @@ def backprop(tree: Tree, leaf_idx, value, mask=None) -> Tree:
     Mirrors the reference's backpropagate (src/mcts/simple_mcts.rs:96-103):
     the SAME value is added at every level — no sign alternation — which is
     the reference's (non-negamax) semantics, kept for learning-curve parity.
+    All work is on [B, N] arrays.
     """
-    b = jnp.arange(tree.batch_size)
     if mask is None:
         mask = jnp.ones((tree.batch_size,), bool)
 
@@ -160,10 +236,10 @@ def backprop(tree: Tree, leaf_idx, value, mask=None) -> Tree:
 
     def body(carry):
         visits, value_sum, cur, active = carry
-        safe = jnp.where(active, cur, jnp.int32(2**30))
-        visits = visits.at[b, safe].add(1.0, mode="drop")
-        value_sum = value_sum.at[b, safe].add(value, mode="drop")
-        nxt = tree.parent[b, jnp.clip(cur, 0)]
+        oh = node_onehot(tree, cur) & active[:, None]
+        visits = visits + oh.astype(visits.dtype)
+        value_sum = value_sum + jnp.where(oh, value[:, None], 0.0)
+        nxt = node_field(tree, tree.parent, cur)
         active = active & (nxt != NO_PARENT)
         return visits, value_sum, jnp.where(active, nxt, cur), active
 
@@ -178,18 +254,21 @@ def root_visit_probs(tree: Tree) -> jnp.ndarray:
     get_prob_tensor_parallel, src/mcts/utils.rs:42-58).  All-zero rows mean
     the root had no children (terminal root), matching the reference's None.
     """
-    b = jnp.arange(tree.batch_size)[:, None]
-    child = tree.children[:, 0, :]  # [B, A]
-    counts = jnp.where(child != UNVISITED, tree.visits[b, jnp.clip(child, 0)], 0.0)
+    is_root_child = tree.parent == 0  # [B, N]
+    w = jnp.where(is_root_child, tree.visits, 0.0)  # [B, N]
+    a = jnp.arange(tree.num_actions)
+    oh_a = tree.action[:, :, None] == a[None, None, :]  # [B, N, A]
+    counts = jnp.sum(jnp.where(oh_a, w[:, :, None], 0.0), axis=1)
     total = jnp.sum(counts, axis=-1, keepdims=True)
     return jnp.where(total > 0, counts / jnp.maximum(total, 1e-9), 0.0)
 
 
 def root_q_values(tree: Tree) -> jnp.ndarray:
-    """[B, A] root-children mean values (reference win_pct, node.rs:114-116 —
-    used by select_win_pct, simple_mcts.rs:54-69)."""
-    b = jnp.arange(tree.batch_size)[:, None]
-    child = tree.children[:, 0, :]
-    cv = jnp.where(child != UNVISITED, tree.visits[b, jnp.clip(child, 0)], 0.0)
-    cs = jnp.where(child != UNVISITED, tree.value_sum[b, jnp.clip(child, 0)], 0.0)
+    """[B, A] root-children mean values (reference win_pct, node.rs:114-116
+    — used by select_win_pct, simple_mcts.rs:54-69); -inf where no child."""
+    is_root_child = tree.parent == 0
+    a = jnp.arange(tree.num_actions)
+    oh_a = (tree.action[:, :, None] == a[None, None, :]) & is_root_child[:, :, None]
+    cv = jnp.sum(jnp.where(oh_a, tree.visits[:, :, None], 0.0), axis=1)
+    cs = jnp.sum(jnp.where(oh_a, tree.value_sum[:, :, None], 0.0), axis=1)
     return jnp.where(cv > 0, cs / jnp.maximum(cv, 1e-9), -jnp.inf)
