@@ -115,9 +115,48 @@ def random_position(rng: random.Random):
 @pytest.mark.parametrize("seed", range(8))
 def test_mask_fuzz(seed):
     rng = random.Random(1234 + seed)
-    for trial in range(40):
+    for trial in range(80):
         board, bar, off, roll, player = random_position(rng)
         assert_mask_matches(board, bar, off, roll, player, msg=f"fuzz s{seed} t{trial}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_mask_fuzz_doubles(seed):
+    """Doubles collapse the two attribution blocks — the canonical filter
+    and duplicate classes degenerate; fuzz them separately."""
+    rng = random.Random(777 + seed)
+    for trial in range(40):
+        board, bar, off, roll, player = random_position(rng)
+        d = rng.randint(1, 6)
+        assert_mask_matches(board, bar, off, (d, d), player,
+                            msg=f"dfuzz s{seed} t{trial}")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_mask_fuzz_bearoff(seed):
+    """Bear-off positions carry the flexible die attribution and the
+    single-vs-chain duplicate class; fuzz home-board-only shapes."""
+    rng = random.Random(4242 + seed)
+    for trial in range(40):
+        board = [0] * 24
+        for player, pts in ((-1, range(0, 6)), (1, range(18, 24))):
+            n = rng.randint(1, 15)
+            off = 15 - n
+            while n > 0:
+                p = rng.choice(list(pts))
+                if board[p] * player < 0:
+                    continue
+                add = min(n, rng.randint(1, 5))
+                board[p] += add * player
+                n -= add
+            if player == -1:
+                off_m = off
+            else:
+                off_p = off
+        roll = (rng.randint(1, 6), rng.randint(1, 6))
+        player = rng.choice([-1, 1])
+        assert_mask_matches(board, (0, 0), (off_m, off_p), roll, player,
+                            msg=f"bfuzz s{seed} t{trial}")
 
 
 def test_mask_batched_consistency():
