@@ -641,6 +641,27 @@ ENV = Env(
 )
 
 
+def validate_state(state: BgState) -> jnp.ndarray:
+    """Jittable board invariant check (reference is_valid,
+    backgammon_logic.rs:433-452): each side accounts for exactly 15 checkers
+    across board + bar + off, counts are non-negative and dice in range.
+    Returns a bool; use under ``jax.vmap`` as a debug-mode health check
+    (the reference asserts this after decode, alpha_parallel.rs:203-209).
+    """
+    neg = jnp.sum(jnp.where(state.board < 0, -state.board, 0))
+    pos = jnp.sum(jnp.where(state.board > 0, state.board, 0))
+    ok_m1 = neg + state.bar[0] + state.off[0] == 15
+    ok_p1 = pos + state.bar[1] + state.off[1] == 15
+    ok_counts = (
+        jnp.all(state.bar >= 0)
+        & jnp.all(state.off >= 0)
+        & jnp.all(jnp.abs(state.board) <= 15)
+    )
+    ok_roll = jnp.all((state.roll >= 1) & (state.roll <= 6))
+    ok_player = jnp.abs(state.player) == 1
+    return ok_m1 & ok_p1 & ok_counts & ok_roll & ok_player
+
+
 # ---------------------------------------------------------------------------
 # Host-side helpers (not jitted)
 # ---------------------------------------------------------------------------

@@ -70,11 +70,28 @@ def self_play_from_states(
     round_limit: int = 400,
 ) -> Trajectory:
     """Self-play from caller-provided initial states (the sharded multi-chip
-    path passes states pre-placed over the mesh's data axis)."""
-    done0 = jax.vmap(env.done)(states)
+    path passes states pre-placed over the mesh's data axis).
 
-    def body(carry, _):
-        states, done, rng = carry
+    A ``while_loop`` with preallocated [T, B] trajectory buffers replaces a
+    fixed-length scan: the loop exits as soon as every game is finished
+    (the reference's ``while !states.is_empty()``, alpha_parallel.rs:129),
+    which is a multi-x win when games end well before the round limit.
+    """
+    done0 = jax.vmap(env.done)(states)
+    b = jax.tree_util.tree_leaves(states)[0].shape[0]
+    h, w_, c_ = env.spec.obs_shape
+    a = env.spec.num_actions
+    obs_buf = jnp.zeros((round_limit, b, h, w_, c_), jnp.float32)
+    probs_buf = jnp.zeros((round_limit, b, a), jnp.float32)
+    player_buf = jnp.zeros((round_limit, b), jnp.int32)
+    valid_buf = jnp.zeros((round_limit, b), bool)
+
+    def cond(carry):
+        _, done, _, t, *_ = carry
+        return (t < round_limit) & ~jnp.all(done)
+
+    def body(carry):
+        states, done, rng, t, obs_buf, probs_buf, player_buf, valid_buf = carry
         rng, r_search, r_sample = jax.random.split(rng, 3)
         res = alpha_search(
             env, eval_fn, params, states, r_search,
@@ -93,6 +110,11 @@ def self_play_from_states(
         is_noop = action == env.spec.noop_action
         valid = (~done) & (~is_noop)
 
+        obs_buf = jax.lax.dynamic_update_index_in_dim(obs_buf, obs, t, 0)
+        probs_buf = jax.lax.dynamic_update_index_in_dim(probs_buf, tprobs, t, 0)
+        player_buf = jax.lax.dynamic_update_index_in_dim(player_buf, player, t, 0)
+        valid_buf = jax.lax.dynamic_update_index_in_dim(valid_buf, valid, t, 0)
+
         next_states = jax.vmap(env.step)(states, action)
         states = jax.tree_util.tree_map(
             lambda old, new: jnp.where(
@@ -102,10 +124,13 @@ def self_play_from_states(
             next_states,
         )
         new_done = done | jax.vmap(env.done)(states)
-        return (states, new_done, rng), (obs, tprobs, player, valid)
+        return (states, new_done, rng, t + 1, obs_buf, probs_buf,
+                player_buf, valid_buf)
 
-    (final_states, done, _), (obs, probs, player, valid) = jax.lax.scan(
-        body, (states, done0, rng), None, length=round_limit
+    (final_states, done, _, _, obs, probs, player, valid) = jax.lax.while_loop(
+        cond, body,
+        (states, done0, rng, jnp.int32(0), obs_buf, probs_buf, player_buf,
+         valid_buf),
     )
     # round-limit games have no winner -> outcome 0 (draw, :172-180);
     # finished games relabel every fragment vs its player (:215-223)
