@@ -79,7 +79,8 @@ def _random_actions(env, states, rng):
 
 
 def _model_actions(env, eval_fn, variables, states, rng, iterations, c,
-                   dirichlet_alpha, dirichlet_epsilon, temperature):
+                   dirichlet_alpha, dirichlet_epsilon, temperature,
+                   negamax=False):
     """versus.rs:276-302: batched PUCT search + temperature sample; all-zero
     prob rows (terminal roots) return the noop/EMPTY_MOVE."""
     r_search, r_sample = jax.random.split(rng)
@@ -87,6 +88,7 @@ def _model_actions(env, eval_fn, variables, states, rng, iterations, c,
         env, eval_fn, variables, states, r_search,
         iterations=iterations, c=c,
         dirichlet_alpha=dirichlet_alpha, dirichlet_epsilon=dirichlet_epsilon,
+        negamax=negamax,
     )
     action = sample_action(r_sample, res.visit_probs, temperature)
     no_probs = jnp.sum(res.visit_probs, axis=-1) <= 0.0
@@ -111,6 +113,7 @@ def _agent_actions(env, eval_fn, player: Player, states, rng, mcts_cfg,
             env, eval_fn, player.variables, states, rng,
             mcts_cfg.iterations, mcts_cfg.c,
             mcts_cfg.dirichlet_alpha, mcts_cfg.dirichlet_epsilon, temperature,
+            negamax=getattr(mcts_cfg, "negamax", False),
         )
     if player.kind == Agent.MCTS:
         return _mcts_actions(

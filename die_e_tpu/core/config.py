@@ -25,6 +25,10 @@ class MctsConfig:
     simulate_round_limit: int = 400
     dirichlet_alpha: float = 0.3
     dirichlet_epsilon: float = 0.25
+    # extension (not in the reference): score PUCT exploitation from the
+    # perspective of the player to move instead of the reference's
+    # cooperative uniform-value maximization (DIVERGENCES.md)
+    negamax: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +100,7 @@ _KEYMAP = {
     "simulate_round_limit": ("mcts", "simulate_round_limit"),
     "dirichlet_alpha": ("mcts", "dirichlet_alpha"),
     "dirichlet_epsilon": ("mcts", "dirichlet_epsilon"),
+    "negamax": ("mcts", "negamax"),
     "wd": ("optimizer", "wd"),
     "lr": ("optimizer", "lr"),
     "mesh_data": ("mesh", "data"),

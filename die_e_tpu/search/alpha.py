@@ -84,7 +84,7 @@ def _dirichlet_legal(rng, alpha, legal):
     return g / jnp.maximum(jnp.sum(g, axis=-1, keepdims=True), 1e-30)
 
 
-def select_and_allocate(tree: Tree, env, c: float):
+def select_and_allocate(tree: Tree, env, c: float, root_player=None):
     """Descend every game from its root by PUCT until an unexpanded node,
     materializing first-visited children on the way (alpha_select_leaf_node,
     src/mcts/alpha_mcts.rs:14-20, with deferred allocation — see tree.py).
@@ -111,13 +111,21 @@ def select_and_allocate(tree: Tree, env, c: float):
         vc = node_field(tree, tree.visits, cur)            # [B]
         explore = c * jnp.sqrt(vc)
 
-        # materialized children: score on [B, N]
+        # materialized children: score on [B, N].  In negamax mode the
+        # exploitation term is measured from the perspective of the player
+        # to move at ``cur`` (values are accumulated in the root player's
+        # perspective); the reference maximizes the raw accumulated value
+        # at every level (alpha_ucb, node.rs:98-112 + uniform backprop)
         is_child = children_of(tree, cur)
         q = jnp.where(
             tree.visits > 0,
             tree.value_sum / jnp.maximum(tree.visits, 1e-9),
             0.0,
         )
+        if root_player is not None:
+            cur_player = node_field(tree, tree.node_player, cur)
+            sign = (cur_player == root_player).astype(jnp.float32) * 2.0 - 1.0
+            q = q * sign[:, None]
         u = explore[:, None] / (tree.visits + 1.0) * tree.edge_prior
         score_n = jnp.where(is_child, q + u, -jnp.inf)
         best_n = jnp.argmax(score_n, axis=-1).astype(jnp.int32)
@@ -154,7 +162,8 @@ def expand(tree: Tree, leaf, prior_rows, mask) -> Tree:
 
 
 @partial(jax.jit, static_argnames=("env", "eval_fn", "iterations", "c",
-                                   "dirichlet_alpha", "dirichlet_epsilon"))
+                                   "dirichlet_alpha", "dirichlet_epsilon",
+                                   "negamax"))
 def alpha_search(
     env,
     eval_fn: Callable[[Any, Any], Any],
@@ -165,6 +174,7 @@ def alpha_search(
     c: float = 2.0,
     dirichlet_alpha: float = 0.3,
     dirichlet_epsilon: float = 0.25,
+    negamax: bool = False,
 ) -> SearchResult:
     """Run PUCT search for a batch of root states.
 
@@ -190,7 +200,9 @@ def alpha_search(
 
     # --- search loop: one batched NN call per iteration
     def body(_, tree):
-        tree, leaf = select_and_allocate(tree, env, c)
+        tree, leaf = select_and_allocate(
+            tree, env, c, root_player if negamax else None
+        )
         leaf_states = gather_states(tree, leaf)
         obs = jax.vmap(env.observe)(leaf_states)
         policy, value = eval_fn(params, obs)
@@ -202,7 +214,14 @@ def alpha_search(
         term_val = jnp.where(
             w == root_player, 1.0, jnp.where(w == -root_player, -1.0, 0.0)
         )
-        v = jnp.where(is_term, term_val, value[:, 0])
+        nn_v = value[:, 0]
+        if negamax:
+            # the value head predicts the outcome from the LEAF player's
+            # perspective (training targets are winner*player); convert to
+            # the root player's perspective before accumulating
+            leaf_player = node_field(tree, tree.node_player, leaf)
+            nn_v = nn_v * (leaf_player * root_player).astype(jnp.float32)
+        v = jnp.where(is_term, term_val, nn_v)
         tree = expand(tree, leaf, prior_rows, ~is_term)
         return backprop(tree, leaf, v)
 

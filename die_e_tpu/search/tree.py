@@ -62,6 +62,7 @@ class Tree:
     expanded: jnp.ndarray     # [B, N] bool
     node_done: jnp.ndarray    # [B, N] bool — game over at this node
     node_winner: jnp.ndarray  # [B, N] i32 — winner at this node (0 = none/draw)
+    node_player: jnp.ndarray  # [B, N] i32 — player to move at this node
     num_expanded: jnp.ndarray  # [B, N] i32 — children created (rollout search)
     num_legal: jnp.ndarray    # [B, N] i32 — legal actions (set with the prior)
     node_count: jnp.ndarray   # [B] i32 — allocated nodes per game
@@ -101,6 +102,7 @@ def init_tree(env, states, capacity: int) -> Tree:
     stacked = jax.tree_util.tree_map(alloc, states)
     done = jax.vmap(env.done)(states)
     winner = jax.vmap(env.winner)(states)
+    player0 = jax.vmap(env.player)(states)
     return Tree(
         parent=jnp.full((b, n), NO_PARENT),
         action=jnp.full((b, n), jnp.int32(-1)),
@@ -114,6 +116,7 @@ def init_tree(env, states, capacity: int) -> Tree:
         expanded=jnp.zeros((b, n), bool),
         node_done=jnp.zeros((b, n), bool).at[:, 0].set(done),
         node_winner=jnp.zeros((b, n), jnp.int32).at[:, 0].set(winner),
+        node_player=jnp.zeros((b, n), jnp.int32).at[:, 0].set(player0),
         num_expanded=jnp.zeros((b, n), jnp.int32),
         num_legal=jnp.zeros((b, n), jnp.int32),
         node_count=jnp.ones((b,), jnp.int32),
@@ -167,12 +170,14 @@ def allocate(tree: Tree, env, parent_idx, action_idx, edge_p, mask) -> tuple:
     child_states = jax.vmap(env.step)(parent_states, action_idx)
     done = jax.vmap(env.done)(child_states)
     winner = jax.vmap(env.winner)(child_states)
+    child_player = jax.vmap(env.player)(child_states)
     tree = tree.replace(
         parent=jnp.where(sel, parent_idx[:, None], tree.parent),
         action=jnp.where(sel, action_idx[:, None], tree.action),
         edge_prior=jnp.where(sel, edge_p[:, None], tree.edge_prior),
         node_done=jnp.where(sel, done[:, None], tree.node_done),
         node_winner=jnp.where(sel, winner[:, None], tree.node_winner),
+        node_player=jnp.where(sel, child_player[:, None], tree.node_player),
         node_count=tree.node_count + mask.astype(jnp.int32),
         states=write_states(tree.states, oh_new, child_states, mask),
     )

@@ -35,7 +35,11 @@ from die_e_tpu.train.learner import (
     train_epoch,
 )
 from die_e_tpu.train.replay import Memory, save_training_data
-from die_e_tpu.train.self_play import self_play, trajectory_to_memory
+from die_e_tpu.train.self_play import (
+    self_play,
+    self_play_from_states,
+    trajectory_to_memory,
+)
 
 
 def learn(
@@ -71,22 +75,60 @@ def learn(
     tx = make_optimizer(opt.lr, opt.wd)
     eval_fn = net_eval_fn(net)
 
+    # multi-chip: shard the self-play game batch over the mesh's data axis,
+    # replicate params (the reference is single-device, lib.rs:22-30; this
+    # is the scale-out the TPU rebuild adds, SURVEY.md section 2)
+    mesh = None
+    if len(jax.devices()) > 1:
+        from die_e_tpu.core.mesh import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh(config.mesh.data, config.mesh.model)
+        data_sh, repl = batch_sharding(mesh), replicated(mesh)
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), state
+        )
+        metrics.log("mesh", devices=len(jax.devices()),
+                    data=mesh.shape["data"], model=mesh.shape["model"])
+
+    def run_self_play(variables, r_sp):
+        if mesh is None:
+            return self_play(
+                env, eval_fn, variables, r_sp,
+                batch_size=az.num_self_play_batches,
+                iterations=mcts_cfg.iterations,
+                c=mcts_cfg.c,
+                dirichlet_alpha=mcts_cfg.dirichlet_alpha,
+                dirichlet_epsilon=mcts_cfg.dirichlet_epsilon,
+                temperature=az.temperature,
+                round_limit=mcts_cfg.simulate_round_limit,
+                negamax=mcts_cfg.negamax,
+            )
+        r_sp, r_seed = jax.random.split(r_sp)
+        seeds = jax.random.randint(
+            r_seed, (az.num_self_play_batches,), 0, 2**31 - 1
+        ).astype(jax.numpy.uint32)
+        init_states = jax.vmap(env.init)(seeds)
+        init_states = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, data_sh), init_states
+        )
+        return self_play_from_states(
+            env, eval_fn, variables, init_states, r_sp,
+            iterations=mcts_cfg.iterations,
+            c=mcts_cfg.c,
+            dirichlet_alpha=mcts_cfg.dirichlet_alpha,
+            dirichlet_epsilon=mcts_cfg.dirichlet_epsilon,
+            temperature=az.temperature,
+            round_limit=mcts_cfg.simulate_round_limit,
+            negamax=mcts_cfg.negamax,
+        )
+
     for l_i in range(az.learn_iterations):
         lrn_path = run_base / f"lrn-{l_i}"
         memory = Memory.empty(env.spec.obs_shape, env.spec.num_actions)
         for sp_i in range(az.self_play_iterations):
             rng, r_sp = jax.random.split(rng)
             with Timer() as t:
-                traj = self_play(
-                    env, eval_fn, state.variables, r_sp,
-                    batch_size=az.num_self_play_batches,
-                    iterations=mcts_cfg.iterations,
-                    c=mcts_cfg.c,
-                    dirichlet_alpha=mcts_cfg.dirichlet_alpha,
-                    dirichlet_epsilon=mcts_cfg.dirichlet_epsilon,
-                    temperature=az.temperature,
-                    round_limit=mcts_cfg.simulate_round_limit,
-                )
+                traj = run_self_play(state.variables, r_sp)
                 obs, ps, outcome = trajectory_to_memory(traj)
             frag = Memory(states=obs, ps=ps, outcomes=outcome)
             memory = Memory.concat([memory, frag])

@@ -54,6 +54,7 @@ class Trajectory:
     static_argnames=(
         "env", "eval_fn", "iterations", "c",
         "dirichlet_alpha", "dirichlet_epsilon", "temperature", "round_limit",
+        "negamax",
     ),
 )
 def self_play_from_states(
@@ -68,6 +69,7 @@ def self_play_from_states(
     dirichlet_epsilon: float = 0.25,
     temperature: float = 1.25,
     round_limit: int = 400,
+    negamax: bool = False,
 ) -> Trajectory:
     """Self-play from caller-provided initial states (the sharded multi-chip
     path passes states pre-placed over the mesh's data axis).
@@ -98,6 +100,7 @@ def self_play_from_states(
             iterations=iterations, c=c,
             dirichlet_alpha=dirichlet_alpha,
             dirichlet_epsilon=dirichlet_epsilon,
+            negamax=negamax,
         )
         tprobs = jnp.power(jnp.maximum(res.visit_probs, 0.0), 1.0 / temperature)
         action = sample_action(r_sample, res.visit_probs, temperature)
@@ -152,6 +155,7 @@ def self_play_from_states(
     static_argnames=(
         "env", "eval_fn", "batch_size", "iterations", "c",
         "dirichlet_alpha", "dirichlet_epsilon", "temperature", "round_limit",
+        "negamax",
     ),
 )
 def self_play(
@@ -166,6 +170,7 @@ def self_play(
     dirichlet_epsilon: float = 0.25,
     temperature: float = 1.25,
     round_limit: int = 400,
+    negamax: bool = False,
 ) -> Trajectory:
     rng, r_seed = jax.random.split(rng)
     seeds = jax.random.randint(
@@ -178,6 +183,7 @@ def self_play(
         dirichlet_alpha=dirichlet_alpha,
         dirichlet_epsilon=dirichlet_epsilon,
         temperature=temperature, round_limit=round_limit,
+        negamax=negamax,
     )
 
 

@@ -10,11 +10,17 @@ Usage:  python scripts/ttt_learning_check.py [workdir]
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 from pathlib import Path
 
 import jax
+
+if os.environ.get("DIE_E_PLATFORM"):
+    # env JAX_PLATFORMS can be overridden by a sitecustomize-registered
+    # PJRT plugin; the config update after import wins
+    jax.config.update("jax_platforms", os.environ["DIE_E_PLATFORM"])
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -35,10 +41,10 @@ from die_e_tpu.train.learner import net_eval_fn
 
 def main(workdir: str):
     config = Config(
-        mcts=MctsConfig(iterations=48, simulate_round_limit=9),
+        mcts=MctsConfig(iterations=64, simulate_round_limit=9, negamax=True),
         alphazero=AlphaZeroConfig(
             temperature=1.25,
-            learn_iterations=6,
+            learn_iterations=24,
             self_play_iterations=2,
             num_epochs=2,
             training_batch_size=256,
@@ -60,7 +66,7 @@ def main(workdir: str):
     result = play(
         ttt.ENV, eval_fn, Player(Agent.MODEL, state.variables),
         Player(Agent.RANDOM), jax.random.PRNGKey(123),
-        config.mcts, temperature=0.5, num_games=400, round_limit=9,
+        config.mcts, temperature=0.25, num_games=400, round_limit=9,
         metrics=metrics,
     )
     non_loss = (result.wins_p1 + result.draws) / result.n_games
