@@ -1,0 +1,51 @@
+"""End-to-end learn-loop test on the 8-device virtual mesh: the CLI-level
+learn() with multiple devices takes the sharded self-play path (game batch
+over the data axis, replicated params)."""
+
+import jax
+import numpy as np
+import pytest
+
+from die_e_tpu.core.config import (
+    AlphaZeroConfig,
+    ArenaConfig,
+    Config,
+    MctsConfig,
+    MeshConfig,
+    OptimizerParams,
+)
+from die_e_tpu.core.metrics import Metrics
+from die_e_tpu.envs import tictactoe as ttt
+from die_e_tpu.train.learn import learn
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+
+
+def test_learn_uses_mesh_and_produces_artifacts(tmp_path):
+    config = Config(
+        mcts=MctsConfig(iterations=8, simulate_round_limit=9),
+        alphazero=AlphaZeroConfig(
+            learn_iterations=1, self_play_iterations=1, num_epochs=1,
+            training_batch_size=16, num_self_play_batches=16,
+        ),
+        optimizer=OptimizerParams(),
+        mesh=MeshConfig(data=8, model=1),
+        arena=ArenaConfig(num_games=8, round_limit=9),
+    )
+    metrics = Metrics(quiet=True)
+    state = learn(
+        ttt.ENV, config, seed=0,
+        data_base=str(tmp_path / "data"), models_base=str(tmp_path / "models"),
+        metrics=metrics,
+    )
+    # artifacts: sp data, per-iteration model, best model from the gate
+    runs = list((tmp_path / "data" / "tictactoe").iterdir())
+    assert len(runs) == 1
+    assert (runs[0] / "lrn-0" / "sp-0" / "memory.npz").exists()
+    assert (tmp_path / "models" / "tictactoe" / "model_0").exists()
+    assert (tmp_path / "models" / "tictactoe" / "best").exists()
+    # params finite
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
