@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from die_e_tpu.envs.base import freeze_where
 from die_e_tpu.search.alpha import alpha_search, sample_action
 from die_e_tpu.search.simple import simple_search
 
@@ -128,13 +129,7 @@ def _apply_round(env, states, done, action):
     noop = jnp.full_like(action, env.spec.noop_action)
     action = jnp.where(done, noop, action)
     next_states = jax.vmap(env.step)(states, action)
-    states = jax.tree_util.tree_map(
-        lambda old, new: jnp.where(
-            jnp.reshape(done, done.shape + (1,) * (old.ndim - 1)), old, new
-        ),
-        states,
-        next_states,
-    )
+    states = freeze_where(done, states, next_states)
     done = done | jax.vmap(env.done)(states)
     return states, done
 

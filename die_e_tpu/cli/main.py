@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     # Learn (main.rs:34-38)
     pl = sub.add_parser("learn", help="run the self-play learn loop")
     pl.add_argument("-m", "--model-path", default=None)
+    pl.add_argument("--resume", action="store_true",
+                    help="resume from the latest full train state "
+                         "(incl. optimizer)")
 
     # Play (main.rs:40-60)
     pp = sub.add_parser("play", help="arena match between two agents")
@@ -109,6 +112,15 @@ def main(argv=None):
     from die_e_tpu.core.metrics import Metrics
 
     config = load_config(args.config)
+    if args.mesh_data != -1 or args.mesh_model != 1:
+        import dataclasses as _dc
+
+        config = _dc.replace(
+            config,
+            mesh=_dc.replace(
+                config.mesh, data=args.mesh_data, model=args.mesh_model
+            ),
+        )
     env_mod = _get_env(args.game)
     env = env_mod.ENV
     metrics = Metrics()
@@ -118,7 +130,7 @@ def main(argv=None):
         from die_e_tpu.train.learn import learn
 
         learn(env, config, seed=args.seed, model_path=args.model_path,
-              metrics=metrics)
+              metrics=metrics, resume=args.resume)
 
     elif args.command == "play":
         from die_e_tpu.arena.versus import play

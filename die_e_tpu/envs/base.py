@@ -18,6 +18,21 @@ Array = Any  # jax array
 State = Any  # pytree of arrays
 
 
+def freeze_where(done, old_states: State, new_states: State) -> State:
+    """Per-game select over batched state pytrees: keep ``old_states`` where
+    ``done`` [B], else take ``new_states`` — the standard lockstep-batch
+    freeze for finished games (replaces the reference's removal of finished
+    games from the batch, alpha_parallel.rs:226-228)."""
+    import jax
+    import jax.numpy as jnp
+
+    def sel(old, new):
+        mask = jnp.reshape(done, done.shape + (1,) * (old.ndim - 1))
+        return jnp.where(mask, old, new)
+
+    return jax.tree_util.tree_map(sel, old_states, new_states)
+
+
 @dataclasses.dataclass(frozen=True)
 class GameSpec:
     """Static per-game constants (reference src/base.rs:17-24).

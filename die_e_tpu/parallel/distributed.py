@@ -110,6 +110,8 @@ def train_iteration(
         "policy_loss": pl,
         "value_loss": vl,
         "fragments": jnp.sum(weight),
-        "finished_games": jnp.sum((traj.winner != 0).astype(jnp.int32)),
+        # winner != 0 counts DECISIVE games; completed draws (possible in
+        # TicTacToe) and round-limit truncations both have winner == 0
+        "decisive_games": jnp.sum((traj.winner != 0).astype(jnp.int32)),
     }
     return new_state, metrics

@@ -39,6 +39,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from die_e_tpu.envs.base import freeze_where
 from die_e_tpu.search.tree import (
     Tree,
     allocate,
@@ -123,13 +124,7 @@ def _rollout(env, states, rng, player, sim_limit: int):
         logits = jnp.where(legal, 0.0, -jnp.inf)
         action = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
         next_states = jax.vmap(env.step)(states, action)
-        states = jax.tree_util.tree_map(
-            lambda old, new: jnp.where(
-                jnp.reshape(done, done.shape + (1,) * (old.ndim - 1)), old, new
-            ),
-            states,
-            next_states,
-        )
+        states = freeze_where(done, states, next_states)
         done = done | jax.vmap(env.done)(states)
         return states, rng, done, step + 1
 
@@ -157,7 +152,6 @@ def simple_search(
     (select_most_visits, simple_mcts.rs:71-86); terminal roots return the
     noop action (mct_search's EMPTY_MOVE early-out, simple_mcts.rs:12-14).
     """
-    b = jnp.arange(jax.tree_util.tree_leaves(states)[0].shape[0])
     tree = init_tree(env, states, capacity=iterations + 1)
     tree = set_prior_row(
         tree,

@@ -20,7 +20,6 @@ from die_e_tpu.train import checkpoint as ckpt
 
 def gate(
     env,
-    net,
     eval_fn,
     candidate_variables,
     rng,

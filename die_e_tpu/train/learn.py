@@ -51,6 +51,7 @@ def learn(
     models_base: str = "./models",
     metrics: Optional[Metrics] = None,
     run_id: Optional[str] = None,
+    resume: bool = False,
 ):
     """Run the full learn loop; returns the final TrainState."""
     if metrics is None:
@@ -71,6 +72,12 @@ def learn(
     state = state.replace(
         params=variables["params"], batch_stats=variables["batch_stats"]
     )
+    latest = ckpt.model_dir(env.spec.name, models_base) / "latest_state"
+    if resume and latest.exists():
+        # full resume incl. optimizer state (the reference rebuilds Adam
+        # fresh every run, alphazero.rs:102 — a documented quirk fix)
+        state = ckpt.restore_state(latest, state)
+        source = f"{latest} (full train state)"
     metrics.log("model_bootstrap", source=source)
     tx = make_optimizer(opt.lr, opt.wd)
     eval_fn = net_eval_fn(net)
@@ -79,6 +86,7 @@ def learn(
     # replicate params (the reference is single-device, lib.rs:22-30; this
     # is the scale-out the TPU rebuild adds, SURVEY.md section 2)
     mesh = None
+    data_sh = None
     if len(jax.devices()) > 1:
         from die_e_tpu.core.mesh import batch_sharding, make_mesh, replicated
 
@@ -153,6 +161,7 @@ def learn(
                 state = train_epoch(
                     net, tx, state, r_ep, memory.states, memory.ps,
                     memory.outcomes, az.training_batch_size, ms,
+                    batch_sharding=data_sh if mesh is not None else None,
                 )
             metrics.log(
                 "train_epoch",
@@ -167,11 +176,12 @@ def learn(
         # finite-weights check (alpha_parallel.rs:83) is inside train_epoch
         model_path_i = ckpt.model_dir(env.spec.name, models_base) / f"model_{l_i}"
         ckpt.save_variables(state.variables, model_path_i)
+        ckpt.save_state(state, latest)  # full state incl. optimizer
         metrics.log("model_saved", learn_iter=l_i, path=str(model_path_i))
 
         rng, r_gate = jax.random.split(rng)
         gate(
-            env, net, eval_fn, state.variables, r_gate, mcts_cfg,
+            env, eval_fn, state.variables, r_gate, mcts_cfg,
             config.arena, az.temperature, models_base, metrics,
         )
     return state

@@ -130,10 +130,17 @@ def train_step(net, tx, state: TrainState, obs, ps, outcome, weight):
 
 
 def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
-                batch_size: int, metrics_out: list | None = None):
+                batch_size: int, metrics_out: list | None = None,
+                batch_sharding=None):
     """One shuffled pass over the memory in fixed-size batches; the last
-    partial batch is padded with zero-weight rows (reference shuffles and
-    steps through min-capped slices, alphazero.rs:203-206)."""
+    partial batch is padded with wrapped real samples at zero weight
+    (reference shuffles and steps through min-capped slices,
+    alphazero.rs:203-206).
+
+    ``batch_sharding`` (a NamedSharding over the data axis) places each
+    batch across the mesh so the SGD step is data-parallel with an XLA
+    gradient all-reduce; without it every device would redundantly compute
+    the same update against replicated params."""
     import numpy as np
 
     n = obs.shape[0]
@@ -151,11 +158,12 @@ def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
             filler = perm[np.arange(pad) % n]
             idx = np.concatenate([idx, filler])
             w = np.concatenate([w, np.zeros(pad, np.float32)])
-        state, m = train_step(
-            net, tx, state,
-            jnp.asarray(obs[idx]), jnp.asarray(ps[idx]),
-            jnp.asarray(outcome[idx]), jnp.asarray(w),
-        )
+        batch = (obs[idx], ps[idx], outcome[idx], w)
+        if batch_sharding is not None:
+            batch = tuple(jax.device_put(x, batch_sharding) for x in batch)
+        else:
+            batch = tuple(jnp.asarray(x) for x in batch)
+        state, m = train_step(net, tx, state, *batch)
         if metrics_out is not None:
             metrics_out.append({k: float(v) for k, v in m.items()})
         nan_seen = nan_seen or bool(m["nan"])

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from die_e_tpu.envs.base import freeze_where
 from die_e_tpu.search.alpha import alpha_search, sample_action
 
 
@@ -119,13 +120,7 @@ def self_play_from_states(
         valid_buf = jax.lax.dynamic_update_index_in_dim(valid_buf, valid, t, 0)
 
         next_states = jax.vmap(env.step)(states, action)
-        states = jax.tree_util.tree_map(
-            lambda old, new: jnp.where(
-                jnp.reshape(done, done.shape + (1,) * (old.ndim - 1)), old, new
-            ),
-            states,
-            next_states,
-        )
+        states = freeze_where(done, states, next_states)
         new_done = done | jax.vmap(env.done)(states)
         return (states, new_done, rng, t + 1, obs_buf, probs_buf,
                 player_buf, valid_buf)

@@ -242,7 +242,7 @@ class TestGating:
 
         variables = init_params(NET, jax.random.PRNGKey(5))
         promoted = gate(
-            ttt.ENV, NET, net_eval_fn(NET), variables, jax.random.PRNGKey(0),
+            ttt.ENV, net_eval_fn(NET), variables, jax.random.PRNGKey(0),
             MctsConfig(iterations=4), ArenaConfig(num_games=4, round_limit=9),
             temperature=1.25, models_base=str(tmp_path),
         )
