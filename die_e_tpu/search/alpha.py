@@ -44,12 +44,12 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from die_e_tpu.ops.rows import scatter_rows
 from die_e_tpu.search.tree import (
     Tree,
     allocate,
     backprop,
     children_of,
-    allocated_action_mask,
     gather_states,
     init_tree,
     node_field,
@@ -131,22 +131,36 @@ def select_and_allocate(tree: Tree, env, c: float, root_player=None):
         best_n = jnp.argmax(score_n, axis=-1).astype(jnp.int32)
         best_n_score = jnp.max(score_n, axis=-1)
 
-        # unmaterialized children: score on [B, A]
-        taken = allocated_action_mask(tree, cur)
-        legal = p_row >= 0.0
+        # unmaterialized children: score on [B, A].  Materialized actions
+        # were marked taken in the prior row at allocation time (the
+        # < -1.0 sentinel below), so p_row >= 0 means legal AND
+        # unmaterialized — no [B, N, A]-scale reconstruction per level.
+        legal_untaken = p_row >= 0.0
         score_a = explore[:, None] * jnp.maximum(p_row, 0.0)
-        score_a = jnp.where(legal & (~taken), score_a, -jnp.inf)
+        score_a = jnp.where(legal_untaken, score_a, -jnp.inf)
         best_a = jnp.argmax(score_a, axis=-1).astype(jnp.int32)
         best_a_score = jnp.max(score_a, axis=-1)
 
         choose_new = best_a_score > best_n_score
+        oh_a = best_a[:, None] == jnp.arange(tree.num_actions)[None, :]
         edge_p = jnp.sum(
-            jnp.where(best_a[:, None] == jnp.arange(tree.num_actions)[None, :],
-                      jnp.maximum(p_row, 0.0), 0.0),
-            axis=-1,
+            jnp.where(oh_a, jnp.maximum(p_row, 0.0), 0.0), axis=-1
         )
-        tree, new_idx = allocate(
-            tree, env, cur, best_a, edge_p, active & choose_new
+        do_alloc = active & choose_new
+        tree, new_idx = allocate(tree, env, cur, best_a, edge_p, do_alloc)
+        # mark the taken action on the parent's prior row in place
+        # (-2 - p stays distinguishable from the -1.0 illegal sentinel);
+        # a per-row DMA on TPU, so the cost is independent of N
+        marked = jnp.where(oh_a, -2.0 - p_row, p_row)
+        b = p_row.shape[0]
+        a_pad = tree.padded_actions
+        row_p = jnp.full((b, a_pad), -1.0, tree.prior.dtype)
+        row_p = row_p.at[:, : marked.shape[1]].set(
+            marked.astype(tree.prior.dtype)
+        )
+        row_p = row_p.reshape(b, tree.prior.shape[2], tree.prior.shape[3])
+        tree = tree.replace(
+            prior=scatter_rows(tree.prior, cur, row_p, do_alloc)
         )
         nxt = jnp.where(choose_new, new_idx, best_n)
         cur = jnp.where(active, nxt, cur)

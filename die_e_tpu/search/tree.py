@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from die_e_tpu.ops.rows import LANE, gather_rows, pad_actions, scatter_rows
+
 NO_PARENT = jnp.int32(-1)
 UNVISITED = jnp.int32(-1)
 
@@ -67,6 +69,7 @@ class Tree:
     num_legal: jnp.ndarray    # [B, N] i32 — legal actions (set with the prior)
     node_count: jnp.ndarray   # [B] i32 — allocated nodes per game
     states: Any               # env-state pytree, leaves [B, N, ...]
+    action_count: Any = struct.field(pytree_node=False, default=0)  # true A
 
     @property
     def batch_size(self):
@@ -78,7 +81,11 @@ class Tree:
 
     @property
     def num_actions(self):
-        return self.prior.shape[2]
+        return self.action_count
+
+    @property
+    def padded_actions(self):
+        return self.prior.shape[2] * self.prior.shape[3]
 
 
 def node_onehot(tree: Tree, idx):
@@ -107,10 +114,14 @@ def init_tree(env, states, capacity: int) -> Tree:
         parent=jnp.full((b, n), NO_PARENT),
         action=jnp.full((b, n), jnp.int32(-1)),
         edge_prior=jnp.zeros((b, n), jnp.float32),
-        # bf16: the prior store is the only [B,N,A] array and its one-hot
-        # row scans dominate search bandwidth; PUCT ranking tolerates the
-        # reduced mantissa (probabilities, compared within ~1e-2)
-        prior=jnp.full((b, n, a), -1.0, jnp.bfloat16),
+        # bf16: the prior store is the only [B,N,A]-scale array; PUCT
+        # ranking tolerates the reduced mantissa (probabilities, compared
+        # within ~1e-2).  Stored [B, N, R, 128] with the action axis padded
+        # (padding = the -1.0 illegal sentinel) so the pallas row-DMA
+        # kernel satisfies Mosaic's (8, 128) slice-tiling rules — see
+        # die_e_tpu/ops/rows.py.
+        prior=jnp.full((b, n, pad_actions(a) // LANE, LANE), -1.0,
+                       jnp.bfloat16),
         visits=jnp.zeros((b, n), jnp.float32),
         value_sum=jnp.zeros((b, n), jnp.float32),
         expanded=jnp.zeros((b, n), bool),
@@ -121,6 +132,7 @@ def init_tree(env, states, capacity: int) -> Tree:
         num_legal=jnp.zeros((b, n), jnp.int32),
         node_count=jnp.ones((b,), jnp.int32),
         states=stacked,
+        action_count=a,
     )
 
 
@@ -185,12 +197,11 @@ def allocate(tree: Tree, env, parent_idx, action_idx, edge_p, mask) -> tuple:
 
 
 def prior_row(tree: Tree, idx):
-    """[B, A] prior row of node ``idx`` — the per-level [B,N,A] reduction."""
-    oh = node_onehot(tree, idx)
-    zero = jnp.zeros((), tree.prior.dtype)
-    return jnp.sum(
-        jnp.where(oh[:, :, None], tree.prior, zero), axis=1
-    ).astype(jnp.float32)
+    """[B, A] prior row of node ``idx``: a pallas row-DMA on TPU (O(B*A)
+    HBM traffic, independent of N), masked reduction elsewhere."""
+    row = gather_rows(tree.prior, idx)  # [B, R, 128]
+    b = row.shape[0]
+    return row.reshape(b, -1)[:, : tree.num_actions].astype(jnp.float32)
 
 
 def set_prior_row(tree: Tree, idx, rows, mask) -> Tree:
@@ -200,10 +211,13 @@ def set_prior_row(tree: Tree, idx, rows, mask) -> Tree:
     oh = node_onehot(tree, idx)
     sel = oh & mask[:, None]
     nl = jnp.sum(rows >= 0.0, axis=-1).astype(jnp.int32)
+    b = rows.shape[0]
+    a_pad = tree.padded_actions
+    rows_p = jnp.full((b, a_pad), -1.0, tree.prior.dtype)
+    rows_p = rows_p.at[:, : rows.shape[1]].set(rows.astype(tree.prior.dtype))
+    rows_p = rows_p.reshape(b, tree.prior.shape[2], tree.prior.shape[3])
     return tree.replace(
-        prior=jnp.where(
-            sel[:, :, None], rows[:, None, :].astype(tree.prior.dtype), tree.prior
-        ),
+        prior=scatter_rows(tree.prior, idx, rows_p, mask),
         expanded=jnp.where(sel, True, tree.expanded),
         num_legal=jnp.where(sel, nl[:, None], tree.num_legal),
     )
