@@ -9,6 +9,12 @@ Prints one JSON line per metric.  Usage:
 Timing rules for the axon tunnel (see bench.py): chained inputs so no call
 repeats a (program, inputs) pair, np.asarray fetches (block_until_ready can
 return early), warmup with identical static arguments.
+
+Note on net/train numbers: these call the jitted step once per host-loop
+iteration, so they include the tunnel's per-dispatch overhead (~25 ms) —
+they measure what a host-driven loop actually gets.  Inside fused programs
+the same ResNet forward costs ~9.5 ms per 1024-batch (see the search
+breakdown in BASELINE.md).
 """
 
 from __future__ import annotations
