@@ -471,7 +471,18 @@ def legal_mask(state: BgState) -> jnp.ndarray:
         s1_board.reshape(52, 24), s1_bar.reshape(52, 2), s1_off.reshape(52, 2)
     ).reshape(2, 26, 5)
 
-    base_keys = sig1[_DSEL, _F1D]  # [1352, 5] static gather
+    # The signature must describe the state the action actually reaches, so
+    # the intermediate state is taken under an attribution the action is
+    # tree-LEGAL under — not the action's own block.  (An action can be
+    # legal only via the other die order; its block-attribution first move
+    # is then illegal and masked to a no-op, which would make the signature
+    # describe a wrong state and break duplicate removal.  ok_att guarantees
+    # the chosen attribution's sub-move destinations equal the decoded
+    # ones, so the reached state is identical either way.)
+    sig_lo = ok_low_first
+    base_keys = jnp.where(
+        sig_lo[:, None], sig1[1, _F1D], sig1[0, _F1D]
+    )  # [1352, 5] static gathers + select
     own = (player + 1) // 2
     opp = 1 - own
     is_collect2 = (t2 < 0) & (f2m >= 0)
@@ -483,7 +494,7 @@ def legal_mask(state: BgState) -> jnp.ndarray:
     t2_clip = jnp.clip(t2_tab, 0, 23)  # [2, 26]
     oh_t2 = (t2_clip[:, :, None] == jnp.arange(24)).astype(jnp.int32)  # [2,26,24]
     V = jnp.einsum("dfc,dgc->dfg", s1_board, oh_t2)  # [2, 26(f1), 26(f2)]
-    v_to = V[_DSEL, _F1D, f2c]  # [1352] static gather
+    v_to = jnp.where(sig_lo, V[1, _F1D, f2c], V[0, _F1D, f2c])  # [1352]
     hit2 = (~is_collect2) & (v_to == -player)
     change_to = jnp.where(
         ~is_collect2, jnp.where(hit2, player - v_to, player), 0

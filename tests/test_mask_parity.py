@@ -70,6 +70,15 @@ FIXED_CASES = [
     (board_with(p21=1), (1, 0), (0, 0), (3, 3), -1),
     # hit-makes-distinct (backgammon_test.rs:718-734)
     (board_with(p20=-1, p19=1), (0, 0), (0, 0), (2, 1), -1),
+    # regression (parity sweep, seed 1994076408 step 86): an action legal
+    # only under the non-block die attribution whose block-attribution
+    # first move is illegal — the duplicate-state signature must be taken
+    # under the LEGAL attribution or dedup misses the transposition
+    (
+        [-6, 0, 0, 4, -1, -2, 1, 2, 0, 0, 0, 0,
+         0, 0, 0, 1, 0, 0, 1, 0, 0, 0, 3, 3],
+        (0, 0), (6, 0), (6, 5), -1,
+    ),
 ]
 
 
@@ -139,7 +148,11 @@ def test_mask_fuzz_bearoff(seed):
     rng = random.Random(4242 + seed)
     for trial in range(40):
         board = [0] * 24
-        for player, pts in ((-1, range(0, 6)), (1, range(18, 24))):
+        # opponent checkers inside the bear-off home boards exercise the
+        # signed-sum higher-die rule and attribution-dependent signatures
+        pts_m = range(0, 6) if trial % 2 == 0 else range(0, 9)
+        pts_p = range(18, 24) if trial % 2 == 0 else range(15, 24)
+        for player, pts in ((-1, pts_m), (1, pts_p)):
             n = rng.randint(1, 15)
             off = 15 - n
             while n > 0:
