@@ -156,11 +156,12 @@ def replay_game(env, path, pretty_str, wait_user_input: bool = False,
     state = _state_from_record(env, record)
     out("Initial State:")
     out(pretty_str(state))
+    step_fn = jax.jit(env.step)  # one wrapper for every turn, traced once
     for turn in record.turns:
         out(f"Player: {turn.player}")
         out(f"Roll: {turn.roll}")
         out(f"Action: {turn.action}")
-        state = jax.jit(env.step)(state, turn.action)
+        state = step_fn(state, turn.action)
         out("State after action has been played:")
         out(pretty_str(state))
         if wait_user_input:

@@ -13,9 +13,15 @@ thread per game in the reference — here one lockstep batched search), Model
 runs the batched PUCT search + temperature sampling (:276-302).
 
 Vectorization note: the reference partitions live games by side to move and
-evaluates each agent only on its own games (:195-208); here both agents act
-on the full batch every round and the side-to-move mask picks which action
-applies — lockstep shapes, no host partitioning (SURVEY.md section 2 row 20).
+evaluates each agent only on its own games (:195-208); here lockstep shapes
+make per-side partitioning impossible, so instead ONE action computation per
+round serves both sides: for model-vs-model (the gating path) a single
+batched PUCT search runs with per-game parameter selection by side-to-move
+(the dual eval below), and for identical non-model agents one computation is
+shared — never two full searches over the full batch.  The whole match
+(round loop included) is fused under one jit when no host-side game
+recording is requested; the ``record=True`` path keeps a host loop so it can
+log per-round turns.
 """
 
 from __future__ import annotations
@@ -105,23 +111,81 @@ def _mcts_actions(env, states, rng, iterations, c, simulate_round_limit):
     return action
 
 
-def _agent_actions(env, eval_fn, player: Player, states, rng, mcts_cfg,
-                   temperature):
-    if player.kind == Agent.RANDOM:
-        return _random_actions(env, states, rng)
-    if player.kind == Agent.MODEL:
+_DUAL_EVAL_CACHE: dict = {}
+
+
+def dual_eval_fn(base_eval_fn):
+    """Evaluate the net under TWO parameter sets and select each game's row
+    by a per-game flag.  Used so model-vs-model matches (the gating path,
+    reference versus.rs:195-208) run ONE batched search per round instead of
+    two: the tree walk — the dominant cost — happens once, and only the NN
+    eval doubles.  Cached so the wrapper is a stable jit static arg."""
+    if base_eval_fn not in _DUAL_EVAL_CACHE:
+
+        def dual(params, obs):
+            vars1, vars2, use1 = params  # use1: [B] bool, True -> vars1
+            p1, v1 = base_eval_fn(vars1, obs)
+            p2, v2 = base_eval_fn(vars2, obs)
+            policy = jnp.where(use1[:, None], p1, p2)
+            value = jnp.where(use1[:, None], v1, v2)
+            return policy, value
+
+        _DUAL_EVAL_CACHE[base_eval_fn] = dual
+    return _DUAL_EVAL_CACHE[base_eval_fn]
+
+
+def _round_actions(env, eval_fn, kind1, kind2, vars1, vars2, states, rng,
+                   iterations, c, simulate_round_limit, dirichlet_alpha,
+                   dirichlet_epsilon, temperature, negamax):
+    """One round's action per game, chosen by the side-to-move's agent.
+
+    Player 1 is always side -1 (versus.rs:186).  Only the side-to-move's
+    action is ever applied, so when both agents are models one dual-param
+    search suffices, and when both agents are the same non-model kind one
+    computation is shared.  kind1/kind2 are static, so the dispatch is
+    resolved at trace time."""
+    player_sign = jax.vmap(env.player)(states)
+    use1 = player_sign == -1
+
+    if kind1 == Agent.MODEL and kind2 == Agent.MODEL:
         return _model_actions(
-            env, eval_fn, player.variables, states, rng,
-            mcts_cfg.iterations, mcts_cfg.c,
-            mcts_cfg.dirichlet_alpha, mcts_cfg.dirichlet_epsilon, temperature,
-            negamax=getattr(mcts_cfg, "negamax", False),
+            env, dual_eval_fn(eval_fn), (vars1, vars2, use1), states, rng,
+            iterations, c, dirichlet_alpha, dirichlet_epsilon, temperature,
+            negamax=negamax,
         )
-    if player.kind == Agent.MCTS:
-        return _mcts_actions(
-            env, states, rng, mcts_cfg.iterations, mcts_cfg.c,
-            mcts_cfg.simulate_round_limit,
-        )
-    raise ValueError(f"cannot compute actions for agent {player.kind}")
+
+    def single(kind, variables, r):
+        if kind == Agent.RANDOM:
+            return _random_actions(env, states, r)
+        if kind == Agent.MODEL:
+            return _model_actions(
+                env, eval_fn, variables, states, r,
+                iterations, c, dirichlet_alpha, dirichlet_epsilon,
+                temperature, negamax=negamax,
+            )
+        if kind == Agent.MCTS:
+            return _mcts_actions(env, states, r, iterations, c,
+                                 simulate_round_limit)
+        raise ValueError(f"cannot compute actions for agent {kind}")
+
+    if kind1 == kind2:
+        # same non-model agent on both sides: the draw only matters for the
+        # side to move, so one computation serves both
+        return single(kind1, vars1, rng)
+    r1, r2 = jax.random.split(rng)
+    a1 = single(kind1, vars1, r1)
+    a2 = single(kind2, vars2, r2)
+    return jnp.where(use1, a1, a2)
+
+
+_round_actions_jit = partial(
+    jax.jit,
+    static_argnames=(
+        "env", "eval_fn", "kind1", "kind2", "iterations", "c",
+        "simulate_round_limit", "dirichlet_alpha", "dirichlet_epsilon",
+        "temperature", "negamax",
+    ),
+)(_round_actions)
 
 
 @partial(jax.jit, static_argnames=("env",))
@@ -132,6 +196,69 @@ def _apply_round(env, states, done, action):
     states = freeze_where(done, states, next_states)
     done = done | jax.vmap(env.done)(states)
     return states, done
+
+
+def _init_match(env, r_seed, num_games: int):
+    """Fresh games with half the batch opening on a skipped turn
+    (versus.rs:168-181)."""
+    seeds = jax.random.randint(
+        r_seed, (num_games,), 0, jnp.iinfo(jnp.int32).max
+    ).astype(jnp.uint32)
+    states = jax.vmap(env.init)(seeds)
+    skip_first = jnp.arange(num_games) >= num_games // 2
+    noop = jnp.full((num_games,), env.spec.noop_action, jnp.int32)
+    skipped = jax.vmap(env.step)(states, noop)
+    states = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(
+            jnp.reshape(skip_first, skip_first.shape + (1,) * (a.ndim - 1)), b, a
+        ),
+        states,
+        skipped,
+    )
+    return states
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "env", "eval_fn", "kind1", "kind2", "iterations", "c",
+        "simulate_round_limit", "dirichlet_alpha", "dirichlet_epsilon",
+        "temperature", "negamax", "num_games", "round_limit",
+    ),
+)
+def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
+                iterations, c, simulate_round_limit, dirichlet_alpha,
+                dirichlet_epsilon, temperature, negamax,
+                num_games, round_limit):
+    """The whole match — init, round loop, winners — as one fused program
+    (the same early-exit while_loop shape as self-play), used whenever no
+    host-side game recording is requested.  Removes the per-round Python
+    dispatch of the reference's host loop (versus.rs:192-253)."""
+    rng, r_seed = jax.random.split(rng)
+    states = _init_match(env, r_seed, num_games)
+    done = jax.vmap(env.done)(states)
+
+    def cond(carry):
+        _, done, _, t = carry
+        return (t < round_limit) & ~jnp.all(done)
+
+    def body(carry):
+        states, done, rng, t = carry
+        rng, r = jax.random.split(rng)
+        action = _round_actions(
+            env, eval_fn, kind1, kind2, vars1, vars2, states, r,
+            iterations, c, simulate_round_limit, dirichlet_alpha,
+            dirichlet_epsilon, temperature, negamax,
+        )
+        states, done = _apply_round(env, states, done, action)
+        return states, done, rng, t + 1
+
+    states, done, _, rounds = jax.lax.while_loop(
+        cond, body, (states, done, rng, jnp.int32(0))
+    )
+    # live games at the limit are draws (versus.rs:231-234)
+    winner = jnp.where(done, jax.vmap(env.winner)(states), 0)
+    return winner, rounds
 
 
 def play(
@@ -150,34 +277,41 @@ def play(
     """Run the arena match; player 1 is side -1 (versus.rs:186)."""
     from die_e_tpu.arena.records import GameRecord
 
-    rng, r_seed = jax.random.split(rng)
-    seeds = jax.random.randint(
-        r_seed, (num_games,), 0, jnp.iinfo(jnp.int32).max
-    ).astype(jnp.uint32)
-    states = jax.vmap(env.init)(seeds)
-    # half the games open with a skipped turn (versus.rs:172-175)
-    skip_first = jnp.arange(num_games) >= num_games // 2
-    noop = jnp.full((num_games,), env.spec.noop_action, jnp.int32)
-    skipped = jax.vmap(env.step)(states, noop)
-    states = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(
-            jnp.reshape(skip_first, skip_first.shape + (1,) * (a.ndim - 1)), b, a
-        ),
-        states,
-        skipped,
+    negamax = getattr(mcts_cfg, "negamax", False)
+    search_args = (
+        mcts_cfg.iterations, mcts_cfg.c, mcts_cfg.simulate_round_limit,
+        mcts_cfg.dirichlet_alpha, mcts_cfg.dirichlet_epsilon, temperature,
+        negamax,
     )
-    init_states_host = jax.device_get(states)
 
-    done = jax.vmap(env.done)(states)
-    turns_log = []  # (player_sign, action, roll) per round, host side
+    games = []
+    if not record:
+        # fused path: the whole match is one jitted program
+        winner, rounds = _play_match(
+            env, eval_fn, player1.kind, player2.kind,
+            player1.variables, player2.variables, rng,
+            *search_args, num_games, round_limit,
+        )
+        winner = np.asarray(winner)
+        if metrics is not None:
+            metrics.log("arena_match", rounds=int(rounds),
+                        games=num_games)
+    else:
+        # host loop: per-round turn logging for game records
+        rng, r_seed = jax.random.split(rng)
+        states = _init_match(env, r_seed, num_games)
+        init_states_host = jax.device_get(states)
+        done = jax.vmap(env.done)(states)
+        turns_log = []  # (player_sign, action, roll) per round, host side
 
-    for rnd in range(round_limit):
-        rng, r1, r2 = jax.random.split(rng, 3)
-        player_sign = jax.vmap(env.player)(states)
-        a1 = _agent_actions(env, eval_fn, player1, states, r1, mcts_cfg, temperature)
-        a2 = _agent_actions(env, eval_fn, player2, states, r2, mcts_cfg, temperature)
-        action = jnp.where(player_sign == -1, a1, a2)
-        if record:
+        for rnd in range(round_limit):
+            rng, r = jax.random.split(rng)
+            player_sign = jax.vmap(env.player)(states)
+            action = _round_actions_jit(
+                env, eval_fn, player1.kind, player2.kind,
+                player1.variables, player2.variables, states, r,
+                *search_args,
+            )
             roll = (
                 np.asarray(states.roll) if hasattr(states, "roll") else None
             )
@@ -188,23 +322,23 @@ def play(
                     roll,
                 )
             )
-        states, done = _apply_round(env, states, done, action)
-        if bool(jnp.all(done)):
-            break
-        if metrics is not None and rnd % 50 == 0:
-            metrics.log("arena_round", round=rnd,
-                        live=int(jnp.sum(~done)))
+            states, done = _apply_round(env, states, done, action)
+            if bool(jnp.all(done)):
+                break
+            if metrics is not None and rnd % 50 == 0:
+                metrics.log("arena_round", round=rnd,
+                            live=int(jnp.sum(~done)))
 
-    winner = np.asarray(
-        jnp.where(done, jax.vmap(env.winner)(states), 0)
-    )  # live games at the limit are draws (versus.rs:231-234)
+        winner = np.asarray(
+            jnp.where(done, jax.vmap(env.winner)(states), 0)
+        )  # live games at the limit are draws (versus.rs:231-234)
+        games = GameRecord.from_arrays(
+            env, player1.kind, player2.kind, init_states_host, turns_log,
+            winner,
+        )
+
     wins_p1 = int(np.sum(winner == -1))
     wins_p2 = int(np.sum(winner == 1))
-    games = []
-    if record:
-        games = GameRecord.from_arrays(
-            env, player1.kind, player2.kind, init_states_host, turns_log, winner
-        )
     return PlayResult(
         player1=player1.kind,
         player2=player2.kind,

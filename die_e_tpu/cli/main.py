@@ -65,9 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
         "-g", "--game", default="backgammon",
         choices=["backgammon", "tictactoe"],
     )
-    p.add_argument("--mesh-data", type=int, default=-1,
+    p.add_argument("--mesh-data", type=int, default=None,
                    help="devices on the data axis (-1 = all)")
-    p.add_argument("--mesh-model", type=int, default=1,
+    p.add_argument("--mesh-model", type=int, default=None,
                    help="devices on the model axis")
     p.add_argument("--seed", type=int, default=0)
     sub = p.add_subparsers(dest="command", required=True)
@@ -112,15 +112,17 @@ def main(argv=None):
     from die_e_tpu.core.metrics import Metrics
 
     config = load_config(args.config)
-    if args.mesh_data != -1 or args.mesh_model != 1:
+    if args.mesh_data is not None or args.mesh_model is not None:
+        # override each field independently so a lone --mesh-data does not
+        # clobber a mesh_model set in the TOML (and vice versa)
         import dataclasses as _dc
 
-        config = _dc.replace(
-            config,
-            mesh=_dc.replace(
-                config.mesh, data=args.mesh_data, model=args.mesh_model
-            ),
-        )
+        mesh = config.mesh
+        if args.mesh_data is not None:
+            mesh = _dc.replace(mesh, data=args.mesh_data)
+        if args.mesh_model is not None:
+            mesh = _dc.replace(mesh, model=args.mesh_model)
+        config = _dc.replace(config, mesh=mesh)
     env_mod = _get_env(args.game)
     env = env_mod.ENV
     metrics = Metrics()
@@ -138,10 +140,12 @@ def main(argv=None):
         from die_e_tpu.nets.resnet import make_net
         from die_e_tpu.train.learner import net_eval_fn
 
+        from die_e_tpu.core.mesh import compute_dtype
+
         rng, r1, r2, r_play = jax.random.split(rng, 4)
         p1 = _agent(args.agent_one, args.model1_path, env_mod, r1)
         p2 = _agent(args.agent_two, args.model2_path, env_mod, r2)
-        eval_fn = net_eval_fn(make_net(env.spec))
+        eval_fn = net_eval_fn(make_net(env.spec, dtype=compute_dtype()))
         result = play(
             env, eval_fn, p1, p2, r_play, config.mcts,
             temperature=config.alphazero.temperature,

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from die_e_tpu.core.mesh import DATA_AXIS, make_mesh
 from die_e_tpu.train.learner import TrainState, loss_fn
-from die_e_tpu.train.self_play import self_play_from_states
+from die_e_tpu.train.self_play import PROB_QUANT, self_play_from_states
 
 import optax
 
@@ -90,9 +90,26 @@ def train_iteration(
     )
     t, b = traj.obs.shape[:2]
     obs = traj.obs.reshape(t * b, *traj.obs.shape[2:])
-    ps = traj.probs.reshape(t * b, -1)
+    # dequantize the stored visit probs and apply the temperature power
+    # (the trajectory keeps them uint16; see self_play.PROB_QUANT)
+    ps = jnp.power(
+        traj.probs.reshape(t * b, -1).astype(jnp.float32) / PROB_QUANT,
+        1.0 / temperature,
+    )
     outcome = traj.outcome.reshape(t * b)
     weight = traj.valid.reshape(t * b).astype(jnp.float32)
+    # replace invalid (padding) rows with the nearest preceding REAL sample
+    # so BatchNorm batch statistics stay on the data distribution — the
+    # loss already zero-weights them, but BN stats are not weight-masked
+    # (same rationale as train_epoch's wrapped-sample padding)
+    flat_valid = traj.valid.reshape(t * b)
+    pos = jnp.where(flat_valid, jnp.arange(t * b), -1)
+    fill = jax.lax.associative_scan(jnp.maximum, pos)  # running last-valid
+    first_valid = jnp.argmax(flat_valid)  # 0 if none are valid
+    fill = jnp.where(fill >= 0, fill, first_valid)
+    obs = jnp.take(obs, fill, axis=0)
+    ps = jnp.take(ps, fill, axis=0)
+    outcome = jnp.take(outcome, fill, axis=0)
 
     grad_fn = jax.value_and_grad(
         lambda p: loss_fn(net, p, state.batch_stats, obs, ps, outcome, weight),

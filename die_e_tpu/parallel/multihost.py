@@ -48,14 +48,15 @@ def process_batch_slice(global_batch: int, seed: int = 0):
     """Deterministic per-host slice of the global self-play batch: host i
     owns games [i*B/H, (i+1)*B/H) with per-game seeds folded from the run
     seed, so the global game set is identical regardless of host count."""
+    from die_e_tpu.core.prng import per_game_seeds
+
     h = jax.process_count()
     i = jax.process_index()
     if global_batch % h:
         raise ValueError(f"global batch {global_batch} not divisible by {h} hosts")
     per = global_batch // h
-    rng = np.random.default_rng(seed)
-    all_seeds = rng.integers(0, 2**31 - 1, size=global_batch, dtype=np.int64)
-    return all_seeds[i * per : (i + 1) * per].astype(np.uint32)
+    all_seeds = np.asarray(per_game_seeds(seed, global_batch))
+    return all_seeds[i * per : (i + 1) * per]
 
 
 def global_array_from_local(mesh, local_batch_tree):

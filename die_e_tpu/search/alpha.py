@@ -261,3 +261,34 @@ def sample_action(rng, visit_probs, temperature: float):
     p = temperature_probs(visit_probs, temperature)
     logits = jnp.where(p > 0, jnp.log(p), -jnp.inf)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+def get_next_move(
+    env,
+    eval_fn,
+    variables,
+    state,
+    rng,
+    iterations: int = 100,
+    c: float = 2.0,
+    dirichlet_alpha: float = 0.3,
+    dirichlet_epsilon: float = 0.25,
+    temperature: float = 1.25,
+    negamax: bool = False,
+) -> int:
+    """Single-state next-move helper for debugging / interactive play
+    (reference get_next_move_for_state, src/alphazero/alphazero.rs:139-147):
+    a B=1 PUCT search + temperature sample; returns a Python int action
+    (the noop action for terminal states, mirroring the reference's None)."""
+    states = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], state)
+    r_search, r_sample = jax.random.split(rng)
+    res = alpha_search(
+        env, eval_fn, variables, states, r_search,
+        iterations=iterations, c=c,
+        dirichlet_alpha=dirichlet_alpha, dirichlet_epsilon=dirichlet_epsilon,
+        negamax=negamax,
+    )
+    action = sample_action(r_sample, res.visit_probs, temperature)
+    no_probs = jnp.sum(res.visit_probs, axis=-1) <= 0.0
+    action = jnp.where(no_probs, env.spec.noop_action, action)
+    return int(action[0])

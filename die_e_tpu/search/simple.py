@@ -49,6 +49,7 @@ from die_e_tpu.search.tree import (
     init_tree,
     node_field,
     prior_row,
+    root_q_values,
     root_visit_probs,
     set_prior_row,
 )
@@ -138,7 +139,8 @@ def _rollout(env, states, rng, player, sim_limit: int):
     ) * done.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("env", "iterations", "c", "simulate_round_limit"))
+@partial(jax.jit, static_argnames=("env", "iterations", "c",
+                                   "simulate_round_limit", "selection"))
 def simple_search(
     env,
     states,
@@ -146,12 +148,20 @@ def simple_search(
     iterations: int = 100,
     c: float = 2.0,
     simulate_round_limit: int = 400,
+    selection: str = "most_visits",
 ):
     """Pure-rollout MCTS over a batch of root states; returns
-    (action [B], visit_probs [B, A]).  Action is argmax visits
-    (select_most_visits, simple_mcts.rs:71-86); terminal roots return the
-    noop action (mct_search's EMPTY_MOVE early-out, simple_mcts.rs:12-14).
+    (action [B], visit_probs [B, A]).
+
+    ``selection`` picks the final-move rule: ``"most_visits"`` is argmax
+    visits (select_most_visits, simple_mcts.rs:71-86, the reference's
+    default); ``"win_pct"`` is argmax mean child value
+    (select_win_pct via win_pct, simple_mcts.rs:54-69 + node.rs:114-116).
+    Terminal roots return the noop action (mct_search's EMPTY_MOVE
+    early-out, simple_mcts.rs:12-14).
     """
+    if selection not in ("most_visits", "win_pct"):
+        raise ValueError(f"unknown selection mode {selection!r}")
     tree = init_tree(env, states, capacity=iterations + 1)
     tree = set_prior_row(
         tree,
@@ -195,7 +205,11 @@ def simple_search(
     tree, _ = jax.lax.fori_loop(0, iterations, body, (tree, rng))
 
     probs = root_visit_probs(tree)
-    action = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+    if selection == "win_pct":
+        q = root_q_values(tree)  # -inf where the root has no child
+        action = jnp.argmax(q, axis=-1).astype(jnp.int32)
+    else:
+        action = jnp.argmax(probs, axis=-1).astype(jnp.int32)
     root_terminal = tree.node_done[:, 0]
     action = jnp.where(root_terminal, env.spec.noop_action, action)
     return action, probs

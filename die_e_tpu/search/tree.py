@@ -228,16 +228,6 @@ def children_of(tree: Tree, idx):
     return tree.parent == idx[:, None]
 
 
-def allocated_action_mask(tree: Tree, idx):
-    """[B, A] bool — actions of ``idx`` that already have a materialized
-    child (one one-hot-over-A contraction against the small [B, N] arrays).
-    """
-    is_child = children_of(tree, idx)
-    a = jnp.arange(tree.num_actions)
-    oh_a = (tree.action[:, :, None] == a[None, None, :]) & is_child[:, :, None]
-    return jnp.any(oh_a, axis=1)
-
-
 def backprop(tree: Tree, leaf_idx, value, mask=None) -> Tree:
     """Add ``value`` and one visit to every node on the leaf->root chain.
 

@@ -80,7 +80,12 @@ def learn(
         source = f"{latest} (full train state)"
     metrics.log("model_bootstrap", source=source)
     tx = make_optimizer(opt.lr, opt.wd)
-    eval_fn = net_eval_fn(net)
+    # inference (self-play search + arena gating) runs the net in bf16 on
+    # TPU (f32 params, bf16 compute — the MXU-native dtype); training stays
+    # f32 (the reference is f32 everywhere, src/lib.rs:20)
+    from die_e_tpu.core.mesh import compute_dtype
+
+    eval_fn = net_eval_fn(make_net(env.spec, dtype=compute_dtype()))
 
     # multi-chip: shard the self-play game batch over the mesh's data axis,
     # replicate params (the reference is single-device, lib.rs:22-30; this
@@ -88,7 +93,9 @@ def learn(
     mesh = None
     data_sh = None
     if len(jax.devices()) > 1:
-        from die_e_tpu.core.mesh import batch_sharding, make_mesh, replicated
+        from die_e_tpu.core.mesh import (
+            batch_sharding, make_mesh, replicated, shard_batch,
+        )
 
         mesh = make_mesh(config.mesh.data, config.mesh.model)
         data_sh, repl = batch_sharding(mesh), replicated(mesh)
@@ -115,10 +122,7 @@ def learn(
         seeds = jax.random.randint(
             r_seed, (az.num_self_play_batches,), 0, 2**31 - 1
         ).astype(jax.numpy.uint32)
-        init_states = jax.vmap(env.init)(seeds)
-        init_states = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, data_sh), init_states
-        )
+        init_states = shard_batch(mesh, jax.vmap(env.init)(seeds))
         return self_play_from_states(
             env, eval_fn, variables, init_states, r_sp,
             iterations=mcts_cfg.iterations,
@@ -137,7 +141,7 @@ def learn(
             rng, r_sp = jax.random.split(rng)
             with Timer() as t:
                 traj = run_self_play(state.variables, r_sp)
-                obs, ps, outcome = trajectory_to_memory(traj)
+                obs, ps, outcome = trajectory_to_memory(traj, az.temperature)
             frag = Memory(states=obs, ps=ps, outcomes=outcome)
             memory = Memory.concat([memory, frag])
             save_training_data(frag, lrn_path / f"sp-{sp_i}")

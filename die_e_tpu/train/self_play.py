@@ -20,7 +20,14 @@ section 7 hard part 4):
   reference's skip branch records nothing.
 * the stored probability rows are the *unnormalized* temperature powers
   pi^(1/tau) exactly as the reference stores them
-  (prob_tensor.pow_(1/temperature), :164-166).
+  (prob_tensor.pow_(1/temperature), :164-166).  On-device they are kept
+  quantized (uint16 of the normalized visit distribution — visit counts
+  from <=1000 sims quantize far coarser than 1/65535, so this is lossless
+  in practice) and the temperature power is applied on the host at memory
+  extraction: at the reference workload (400-round limit x 1024 games x
+  1352 actions) the f32 buffer would be 2.2 GB of HBM and host transfer
+  per self-play iteration; uint16 halves it and the valid-row filter cuts
+  the host copy further.
 """
 
 from __future__ import annotations
@@ -36,13 +43,16 @@ from die_e_tpu.envs.base import freeze_where
 from die_e_tpu.search.alpha import alpha_search, sample_action
 
 
+PROB_QUANT = 65535.0  # uint16 quantization scale for stored visit probs
+
+
 @struct.dataclass
 class Trajectory:
     """[T, B, ...] self-play record; ``valid`` marks fragments that exist in
     the reference's memory (live game, non-skip move)."""
 
     obs: jnp.ndarray       # [T, B, H, W, C]
-    probs: jnp.ndarray     # [T, B, A] unnormalized pi^(1/tau)
+    probs: jnp.ndarray     # [T, B, A] uint16 of normalized visit probs
     player: jnp.ndarray    # [T, B]
     valid: jnp.ndarray     # [T, B] bool
     outcome: jnp.ndarray   # [T, B] relabeled per-fragment outcome
@@ -85,7 +95,7 @@ def self_play_from_states(
     h, w_, c_ = env.spec.obs_shape
     a = env.spec.num_actions
     obs_buf = jnp.zeros((round_limit, b, h, w_, c_), jnp.float32)
-    probs_buf = jnp.zeros((round_limit, b, a), jnp.float32)
+    probs_buf = jnp.zeros((round_limit, b, a), jnp.uint16)
     player_buf = jnp.zeros((round_limit, b), jnp.int32)
     valid_buf = jnp.zeros((round_limit, b), bool)
 
@@ -103,7 +113,9 @@ def self_play_from_states(
             dirichlet_epsilon=dirichlet_epsilon,
             negamax=negamax,
         )
-        tprobs = jnp.power(jnp.maximum(res.visit_probs, 0.0), 1.0 / temperature)
+        qprobs = jnp.round(
+            jnp.clip(res.visit_probs, 0.0, 1.0) * PROB_QUANT
+        ).astype(jnp.uint16)
         action = sample_action(r_sample, res.visit_probs, temperature)
         # terminal roots produce all-zero prob rows -> freeze those games
         no_probs = jnp.sum(res.visit_probs, axis=-1) <= 0.0
@@ -115,7 +127,7 @@ def self_play_from_states(
         valid = (~done) & (~is_noop)
 
         obs_buf = jax.lax.dynamic_update_index_in_dim(obs_buf, obs, t, 0)
-        probs_buf = jax.lax.dynamic_update_index_in_dim(probs_buf, tprobs, t, 0)
+        probs_buf = jax.lax.dynamic_update_index_in_dim(probs_buf, qprobs, t, 0)
         player_buf = jax.lax.dynamic_update_index_in_dim(player_buf, player, t, 0)
         valid_buf = jax.lax.dynamic_update_index_in_dim(valid_buf, valid, t, 0)
 
@@ -182,16 +194,23 @@ def self_play(
     )
 
 
-def trajectory_to_memory(traj: Trajectory):
+def trajectory_to_memory(traj: Trajectory, temperature: float = 1.25):
     """Flatten [T, B] fragments into the reference's flat memory vec
     (Vec<MemoryFragment>, alphazero.rs:68-73): numpy arrays
-    (states, ps, outcomes) keeping only valid fragments."""
+    (states, ps, outcomes) keeping only valid fragments.  The stored
+    quantized visit probs are dequantized and raised to 1/temperature here,
+    on the valid subset only, reproducing the reference's stored
+    pi^(1/tau) rows (alpha_parallel.rs:164-166)."""
     import numpy as np
 
     valid = np.asarray(traj.valid).reshape(-1)
     obs = np.asarray(traj.obs)
     t, b = obs.shape[:2]
     obs = obs.reshape(t * b, *obs.shape[2:])[valid]
-    ps = np.asarray(traj.probs).reshape(t * b, -1)[valid]
+    q = np.asarray(traj.probs).reshape(t * b, -1)[valid]
+    # unnormalized temperature rows, as the reference stores them
+    ps = np.power(
+        q.astype(np.float32) / np.float32(PROB_QUANT), 1.0 / temperature
+    )
     outcome = np.asarray(traj.outcome).reshape(-1)[valid]
     return obs, ps, outcome

@@ -111,3 +111,52 @@ class TestRecords:
             "initial_state",
         }
         assert set(d["turns"][0]) == {"roll", "action", "player"}
+
+
+class TestDualModelSearch:
+    """Model-vs-model matches run ONE batched search per round with
+    per-game parameter selection by side-to-move (versus.rs:195-208
+    partitions by side; lockstep shapes select instead)."""
+
+    def test_model_vs_model_runs_and_counts(self):
+        v1 = init_params(NET, jax.random.PRNGKey(10))
+        v2 = init_params(NET, jax.random.PRNGKey(11))
+        res = play(
+            ttt.ENV, EVAL, Player(Agent.MODEL, v1), Player(Agent.MODEL, v2),
+            jax.random.PRNGKey(12), MCTS_CFG, num_games=8, round_limit=9,
+        )
+        assert res.wins_p1 + res.wins_p2 + res.draws == 8
+
+    def test_dual_eval_selects_rows(self):
+        import jax.numpy as jnp
+
+        from die_e_tpu.arena.versus import dual_eval_fn
+
+        v1 = init_params(NET, jax.random.PRNGKey(10))
+        v2 = init_params(NET, jax.random.PRNGKey(11))
+        obs = jax.random.normal(jax.random.PRNGKey(13), (4, 3, 3, 3))
+        use1 = jnp.asarray([True, False, True, False])
+        dual = dual_eval_fn(EVAL)
+        p, v = dual((v1, v2, use1), obs)
+        p1, v1_ = EVAL(v1, obs)
+        p2, v2_ = EVAL(v2, obs)
+        np.testing.assert_array_equal(np.asarray(p[0]), np.asarray(p1[0]))
+        np.testing.assert_array_equal(np.asarray(p[1]), np.asarray(p2[1]))
+        np.testing.assert_array_equal(np.asarray(v[2]), np.asarray(v1_[2]))
+        np.testing.assert_array_equal(np.asarray(v[3]), np.asarray(v2_[3]))
+
+    def test_dual_eval_cached(self):
+        from die_e_tpu.arena.versus import dual_eval_fn
+
+        assert dual_eval_fn(EVAL) is dual_eval_fn(EVAL)
+
+    def test_record_path_matches_schema(self, tmp_path):
+        v1 = init_params(NET, jax.random.PRNGKey(10))
+        res = play(
+            ttt.ENV, EVAL, Player(Agent.MODEL, v1), Player(Agent.MODEL, v1),
+            jax.random.PRNGKey(14), MCTS_CFG, num_games=4, round_limit=9,
+            record=True,
+        )
+        assert len(res.games) == 4
+        for g in res.games:
+            assert g.player1 == "model" and g.player2 == "model"

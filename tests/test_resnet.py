@@ -95,3 +95,32 @@ class TestTopology:
         (logits, _), _ = forward_train(net, variables, obs)
         sums = np.asarray(jnp.sum(logits, -1))
         assert not np.allclose(sums, 1.0)
+
+
+class TestBf16Inference:
+    """The inference path runs bf16 compute with f32 params on TPU
+    (die_e_tpu/core/mesh.py compute_dtype; the reference is f32 everywhere,
+    src/lib.rs:20).  The same f32 variables must serve both nets."""
+
+    def test_bf16_forward_close_to_f32(self):
+        import jax.numpy as jnp
+
+        net32 = make_net(ttt.SPEC)
+        net16 = make_net(ttt.SPEC, dtype=jnp.bfloat16)
+        variables = init_params(net32, jax.random.PRNGKey(0))
+        obs = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 3, 3))
+        p32, v32 = net32.apply(variables, obs, train=False)
+        p16, v16 = net16.apply(variables, obs, train=False)
+        assert p16.dtype == jnp.float32  # outputs cast back to f32
+        sm32 = np.asarray(jax.nn.softmax(p32, -1))
+        sm16 = np.asarray(jax.nn.softmax(p16, -1))
+        np.testing.assert_allclose(sm16, sm32, atol=0.05)
+        np.testing.assert_allclose(np.asarray(v16), np.asarray(v32),
+                                   atol=0.05)
+
+    def test_compute_dtype_is_f32_off_tpu(self):
+        import jax.numpy as jnp
+
+        from die_e_tpu.core.mesh import compute_dtype
+
+        assert compute_dtype() == jnp.float32  # tests force CPU

@@ -176,3 +176,72 @@ class TestTemperature:
         p = jnp.array([[0.0, 1.0, 0.0]] * 8)
         a = sample_action(jax.random.PRNGKey(0), p, 1.25)
         assert list(np.asarray(a)) == [1] * 8
+
+
+class TestWinPctSelection:
+    """select_win_pct final-move mode (simple_mcts.rs:54-69 via win_pct,
+    node.rs:114-116): argmax of root-child mean values."""
+
+    def test_win_pct_finds_immediate_win(self):
+        s = batch_ttt([[-1, -1, 0, 1, 1, 0, 0, 0, 0]] * 4, [-1] * 4)
+        action, _ = simple_search(
+            ttt.ENV, s, jax.random.PRNGKey(1), iterations=200, c=2.0,
+            simulate_round_limit=9, selection="win_pct",
+        )
+        assert list(np.asarray(action)) == [2, 2, 2, 2]
+
+    def test_win_pct_terminal_root_returns_noop(self):
+        won = batch_ttt([[-1, -1, -1, 1, 1, 0, 0, 0, 0]] * 2, [1] * 2)
+        action, _ = simple_search(
+            ttt.ENV, won, jax.random.PRNGKey(0), iterations=50, c=2.0,
+            simulate_round_limit=9, selection="win_pct",
+        )
+        assert int(action[0]) == ttt.NOOP_ACTION
+
+    def test_win_pct_matches_root_q_argmax(self):
+        from die_e_tpu.search.tree import root_q_values
+
+        states = jax.vmap(ttt.init)(jnp.arange(4, dtype=jnp.uint32))
+        res = alpha_search(
+            ttt.ENV, uniform_eval, None, states, jax.random.PRNGKey(5),
+            iterations=64, c=2.0,
+        )
+        q = np.asarray(root_q_values(res.tree))
+        # every legal root action got materialized at 64 sims on TTT,
+        # so finite q exactly on the legal set
+        legal = np.asarray(jax.vmap(ttt.ENV.legal_mask)(states))
+        assert (np.isfinite(q) == legal).all()
+
+    def test_unknown_selection_raises(self):
+        states = jax.vmap(ttt.init)(jnp.arange(2, dtype=jnp.uint32))
+        with pytest.raises(ValueError):
+            simple_search(ttt.ENV, states, jax.random.PRNGKey(0),
+                          iterations=4, selection="nope")
+
+
+class TestGetNextMove:
+    """Single-state helper (get_next_move_for_state, alphazero.rs:139-147)."""
+
+    def test_returns_winning_move(self):
+        from die_e_tpu.search.alpha import get_next_move
+
+        state = ttt.TttState(
+            board=jnp.asarray([-1, -1, 0, 1, 1, 0, 0, 0, 0], jnp.int32),
+            player=jnp.int32(-1),
+        )
+        a = get_next_move(
+            ttt.ENV, uniform_eval, None, state, jax.random.PRNGKey(0),
+            iterations=100, temperature=0.1,
+        )
+        assert a == 2
+
+    def test_terminal_state_returns_noop(self):
+        from die_e_tpu.search.alpha import get_next_move
+
+        state = ttt.TttState(
+            board=jnp.asarray([-1, -1, -1, 1, 1, 0, 0, 0, 0], jnp.int32),
+            player=jnp.int32(1),
+        )
+        a = get_next_move(ttt.ENV, uniform_eval, None, state,
+                          jax.random.PRNGKey(0), iterations=16)
+        assert a == ttt.NOOP_ACTION

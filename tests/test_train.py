@@ -180,11 +180,17 @@ class TestSelfPlay:
 
     def test_probs_are_temperature_powers(self):
         traj = self._run()
-        probs = np.asarray(traj.probs)
         valid = np.asarray(traj.valid)
-        # rows are pi^(1/1.25) of a normalized distribution: sums in (0, 9]
-        sums = probs.reshape(-1, 9).sum(-1)[valid.reshape(-1)]
-        assert (sums > 0).all()
+        # stored rows are uint16-quantized NORMALIZED visit probs ...
+        assert traj.probs.dtype == np.uint16
+        q = np.asarray(traj.probs).reshape(-1, 9)[valid.reshape(-1)]
+        sums = q.astype(np.float64).sum(-1) / 65535.0
+        np.testing.assert_allclose(sums, 1.0, atol=2e-4)
+        # ... and memory extraction applies the pi^(1/1.25) temperature
+        # power (alpha_parallel.rs:164-166): unnormalized, sums in (0, 9]
+        _, ps, _ = trajectory_to_memory(traj, temperature=1.25)
+        expect = np.power(q.astype(np.float32) / 65535.0, 1 / 1.25)
+        np.testing.assert_allclose(ps, expect, rtol=1e-6)
 
     def test_deterministic(self):
         t1, t2 = self._run(7), self._run(7)
@@ -248,3 +254,63 @@ class TestGating:
         )
         assert promoted
         assert ckpt.best_model_path("tictactoe", str(tmp_path)).exists()
+
+    @pytest.mark.parametrize(
+        "winrate,expect_promoted,expect_result",
+        [
+            (0.60, True, "promoted"),          # >= 0.55 (alpha_versus.rs:74)
+            (0.55, True, "promoted"),
+            (0.40, False, "best_kept"),        # <= 0.45 (alpha_versus.rs:75)
+            (0.45, False, "best_kept"),
+            (0.50, False, "inconclusive_kept"),  # in between (:76-77)
+        ],
+    )
+    def test_gate_thresholds(self, tmp_path, monkeypatch, winrate,
+                             expect_promoted, expect_result):
+        """Promote / keep-best / inconclusive branches
+        (alpha_versus.rs:74-77) with a stubbed arena."""
+        from die_e_tpu.arena.versus import Agent, PlayResult
+        from die_e_tpu.core.config import ArenaConfig, MctsConfig
+        from die_e_tpu.train import checkpoint as ckpt
+        from die_e_tpu.train import gating
+
+        # install an existing best so the match branch runs
+        best_vars = init_params(NET, jax.random.PRNGKey(6))
+        best_path = ckpt.best_model_path("tictactoe", str(tmp_path))
+        ckpt.save_variables(best_vars, best_path)
+        def flat(vs):
+            return np.concatenate(
+                [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(vs)]
+            )
+
+        marker = flat(best_vars)
+
+        wins = int(winrate * 20)
+
+        def fake_play(*args, **kwargs):
+            return PlayResult(
+                player1=Agent.MODEL, player2=Agent.MODEL,
+                wins_p1=wins, wins_p2=20 - wins, draws=0, n_games=20,
+                winrate=winrate, games=[],
+            )
+
+        monkeypatch.setattr(gating, "play", fake_play)
+        candidate = init_params(NET, jax.random.PRNGKey(7))
+        events = []
+
+        class Log:
+            def log(self, event, **kw):
+                events.append((event, kw))
+
+        promoted = gating.gate(
+            ttt.ENV, net_eval_fn(NET), candidate, jax.random.PRNGKey(0),
+            MctsConfig(iterations=2), ArenaConfig(num_games=20, round_limit=9),
+            temperature=1.25, models_base=str(tmp_path), metrics=Log(),
+        )
+        assert promoted == expect_promoted
+        gate_events = [kw for ev, kw in events if ev == "gate"]
+        assert gate_events and gate_events[0]["result"] == expect_result
+        # the best checkpoint changed iff promoted
+        now = flat(ckpt.restore_variables(best_path, candidate))
+        changed = not np.array_equal(now, marker)
+        assert changed == expect_promoted
