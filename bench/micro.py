@@ -61,12 +61,16 @@ def bench_env_step(batch: int, steps: int = 16, calls: int = 4):
             "unit": "steps/s"}
 
 
-def bench_net_forward(batch: int, calls: int = 8):
+def _net_dtype(dtype: str):
+    return jnp.bfloat16 if dtype == "bf16" else jnp.float32
+
+
+def bench_net_forward(batch: int, calls: int = 8, dtype: str = "f32"):
     from die_e_tpu.envs import backgammon as bg
     from die_e_tpu.nets.resnet import init_params, make_net
     from die_e_tpu.train.learner import net_eval_fn
 
-    net = make_net(bg.SPEC)
+    net = make_net(bg.SPEC, dtype=_net_dtype(dtype))
     variables = init_params(net, jax.random.PRNGKey(0))
     eval_fn = jax.jit(net_eval_fn(net))
     obs = jax.random.normal(jax.random.PRNGKey(1), (batch, 4, 6, 6))
@@ -77,17 +81,17 @@ def bench_net_forward(batch: int, calls: int = 8):
         p, v = eval_fn(variables, obs + v.mean())  # chain on prior output
     _fetch(v)
     dt = time.perf_counter() - t0
-    return {"metric": "resnet256x19_fwd_samples_per_s",
+    return {"metric": f"resnet256x19_fwd_samples_per_s_{dtype}",
             "value": round(batch * calls / dt, 1), "unit": "samples/s"}
 
 
-def bench_search(batch: int, sims: int, calls: int = 2):
+def bench_search(batch: int, sims: int, calls: int = 2, dtype: str = "f32"):
     from die_e_tpu.envs import backgammon as bg
     from die_e_tpu.nets.resnet import init_params, make_net
     from die_e_tpu.search.alpha import alpha_search
     from die_e_tpu.train.learner import net_eval_fn
 
-    net = make_net(bg.SPEC)
+    net = make_net(bg.SPEC, dtype=_net_dtype(dtype))
     variables = init_params(net, jax.random.PRNGKey(0))
     eval_fn = net_eval_fn(net)
     states = jax.vmap(bg.init)(jnp.arange(batch, dtype=jnp.uint32))
@@ -100,7 +104,7 @@ def bench_search(batch: int, sims: int, calls: int = 2):
                          jax.random.PRNGKey(1 + i), iterations=sims, c=2.0)
         _fetch(r.visit_probs)
     dt = time.perf_counter() - t0
-    return {"metric": "mcts_sims_per_s_full_resnet",
+    return {"metric": f"mcts_sims_per_s_full_resnet_{dtype}",
             "value": round(batch * sims * calls / dt, 1), "unit": "sims/s"}
 
 
@@ -136,12 +140,15 @@ def main():
     ap.add_argument("--sims", type=int, default=100)
     ap.add_argument("--only", default=None,
                     help="env|net|search|train (default: all)")
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                    help="inference compute dtype for net/search benches")
     args = ap.parse_args()
 
     benches = {
         "env": lambda: bench_env_step(args.batch),
-        "net": lambda: bench_net_forward(args.search_batch),
-        "search": lambda: bench_search(args.search_batch, args.sims),
+        "net": lambda: bench_net_forward(args.search_batch, dtype=args.dtype),
+        "search": lambda: bench_search(args.search_batch, args.sims,
+                                       dtype=args.dtype),
         "train": lambda: bench_train_step(),
     }
     for name, fn in benches.items():
