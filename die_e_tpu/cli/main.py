@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-model", type=int, default=None,
                    help="devices on the model axis")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--metrics-jsonl", default=None,
+                   help="append structured metric events to this JSONL file "
+                        "(the learning-curve record)")
     sub = p.add_subparsers(dest="command", required=True)
 
     # Learn (main.rs:34-38)
@@ -125,7 +128,7 @@ def main(argv=None):
         config = _dc.replace(config, mesh=mesh)
     env_mod = _get_env(args.game)
     env = env_mod.ENV
-    metrics = Metrics()
+    metrics = Metrics(jsonl_path=args.metrics_jsonl)
     rng = jax.random.PRNGKey(args.seed)
 
     if args.command == "learn":

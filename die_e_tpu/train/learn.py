@@ -16,6 +16,7 @@ sequential learn/self_play (alpha_no_parallel.rs:7-84) — set
 
 from __future__ import annotations
 
+import json
 import uuid
 from pathlib import Path
 from typing import Optional
@@ -57,10 +58,23 @@ def learn(
     if metrics is None:
         metrics = Metrics()
     az, mcts_cfg, opt = config.alphazero, config.mcts, config.optimizer
+
+    # resume cursor: models/{game}/latest_meta.json records the run id and
+    # the next learn iteration so a killed run continues its numbering
+    # (data dirs, model_{i} names, learning-curve indices) — the recovery
+    # the reference only gets implicitly from on-disk artifacts
+    # (alpha_parallel.rs:85-95 + the offline Train command, SURVEY.md §5)
+    meta_path = ckpt.model_dir(env.spec.name, models_base) / "latest_meta.json"
+    start_iter = 0
+    if resume and meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+        run_id = run_id or meta.get("run_id")
+        start_iter = int(meta.get("next_learn_iter", 0))
     run_id = run_id or uuid.uuid4().hex[:21]
     run_base = Path(data_base) / env.spec.name / f"run-{run_id}"
     run_base.mkdir(parents=True, exist_ok=True)
-    metrics.log("run_start", run_id=run_id, game=env.spec.name)
+    metrics.log("run_start", run_id=run_id, game=env.spec.name,
+                start_iter=start_iter)
 
     net = make_net(env.spec)
     rng = jax.random.PRNGKey(seed)
@@ -134,7 +148,11 @@ def learn(
             negamax=mcts_cfg.negamax,
         )
 
-    for l_i in range(az.learn_iterations):
+    if start_iter:
+        # keep the resumed run's randomness distinct from a fresh replay of
+        # the same seed
+        rng = jax.random.fold_in(rng, start_iter)
+    for l_i in range(start_iter, az.learn_iterations):
         lrn_path = run_base / f"lrn-{l_i}"
         memory = Memory.empty(env.spec.obs_shape, env.spec.num_actions)
         for sp_i in range(az.self_play_iterations):
@@ -181,6 +199,9 @@ def learn(
         model_path_i = ckpt.model_dir(env.spec.name, models_base) / f"model_{l_i}"
         ckpt.save_variables(state.variables, model_path_i)
         ckpt.save_state(state, latest)  # full state incl. optimizer
+        meta_path.write_text(json.dumps(
+            {"run_id": run_id, "next_learn_iter": l_i + 1}
+        ))
         metrics.log("model_saved", learn_iter=l_i, path=str(model_path_i))
 
         rng, r_gate = jax.random.split(rng)

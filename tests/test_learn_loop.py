@@ -49,3 +49,44 @@ def test_learn_uses_mesh_and_produces_artifacts(tmp_path):
     # params finite
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_resume_continues_iteration_numbering(tmp_path):
+    """A killed run resumed with --resume continues the same run id and
+    learn-iteration numbering via models/{game}/latest_meta.json."""
+    import json
+
+    def cfg(total_iters):
+        return Config(
+            mcts=MctsConfig(iterations=4, simulate_round_limit=9),
+            alphazero=AlphaZeroConfig(
+                learn_iterations=total_iters, self_play_iterations=1,
+                num_epochs=1, training_batch_size=8,
+                num_self_play_batches=8,
+            ),
+            optimizer=OptimizerParams(),
+            mesh=MeshConfig(data=8, model=1),
+            arena=ArenaConfig(num_games=8, round_limit=9),
+        )
+
+    kw = dict(data_base=str(tmp_path / "data"),
+              models_base=str(tmp_path / "models"),
+              metrics=Metrics(quiet=True))
+    learn(ttt.ENV, cfg(total_iters=1), seed=0, **kw)
+    meta = json.loads(
+        (tmp_path / "models" / "tictactoe" / "latest_meta.json").read_text()
+    )
+    assert meta["next_learn_iter"] == 1
+
+    # resume with a higher total: continues as lrn-1 in the SAME run dir
+    learn(ttt.ENV, cfg(total_iters=2), seed=0, resume=True, **kw)
+    runs = list((tmp_path / "data" / "tictactoe").iterdir())
+    assert len(runs) == 1
+    assert (runs[0] / "lrn-0" / "sp-0" / "memory.npz").exists()
+    assert (runs[0] / "lrn-1" / "sp-0" / "memory.npz").exists()
+    assert (tmp_path / "models" / "tictactoe" / "model_1").exists()
+    meta = json.loads(
+        (tmp_path / "models" / "tictactoe" / "latest_meta.json").read_text()
+    )
+    assert meta["next_learn_iter"] == 2
+    assert meta["run_id"] == runs[0].name.removeprefix("run-")
