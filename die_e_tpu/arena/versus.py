@@ -136,14 +136,20 @@ def dual_eval_fn(base_eval_fn):
 
 def _round_actions(env, eval_fn, kind1, kind2, vars1, vars2, states, rng,
                    iterations, c, simulate_round_limit, dirichlet_alpha,
-                   dirichlet_epsilon, temperature, negamax):
+                   dirichlet_epsilon, temperature, negamax,
+                   mcts_iterations=None):
     """One round's action per game, chosen by the side-to-move's agent.
 
     Player 1 is always side -1 (versus.rs:186).  Only the side-to-move's
     action is ever applied, so when both agents are models one dual-param
     search suffices, and when both agents are the same non-model kind one
     computation is shared.  kind1/kind2 are static, so the dispatch is
-    resolved at trace time."""
+    resolved at trace time.  ``mcts_iterations`` lets the pure-MCTS agent
+    run a different rollout budget than the model's PUCT sims (the
+    strength-ladder harness pits model@100 vs mcts@100/400/1000); the
+    reference shares one MctsConfig between agents (versus.rs:276-306)."""
+    if mcts_iterations is None:
+        mcts_iterations = iterations
     player_sign = jax.vmap(env.player)(states)
     use1 = player_sign == -1
 
@@ -164,7 +170,7 @@ def _round_actions(env, eval_fn, kind1, kind2, vars1, vars2, states, rng,
                 temperature, negamax=negamax,
             )
         if kind == Agent.MCTS:
-            return _mcts_actions(env, states, r, iterations, c,
+            return _mcts_actions(env, states, r, mcts_iterations, c,
                                  simulate_round_limit)
         raise ValueError(f"cannot compute actions for agent {kind}")
 
@@ -183,7 +189,7 @@ _round_actions_jit = partial(
     static_argnames=(
         "env", "eval_fn", "kind1", "kind2", "iterations", "c",
         "simulate_round_limit", "dirichlet_alpha", "dirichlet_epsilon",
-        "temperature", "negamax",
+        "temperature", "negamax", "mcts_iterations",
     ),
 )(_round_actions)
 
@@ -223,12 +229,13 @@ def _init_match(env, r_seed, num_games: int):
     static_argnames=(
         "env", "eval_fn", "kind1", "kind2", "iterations", "c",
         "simulate_round_limit", "dirichlet_alpha", "dirichlet_epsilon",
-        "temperature", "negamax", "num_games", "round_limit",
+        "temperature", "negamax", "mcts_iterations", "num_games",
+        "round_limit",
     ),
 )
 def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
                 iterations, c, simulate_round_limit, dirichlet_alpha,
-                dirichlet_epsilon, temperature, negamax,
+                dirichlet_epsilon, temperature, negamax, mcts_iterations,
                 num_games, round_limit):
     """The whole match — init, round loop, winners — as one fused program
     (the same early-exit while_loop shape as self-play), used whenever no
@@ -249,6 +256,7 @@ def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
             env, eval_fn, kind1, kind2, vars1, vars2, states, r,
             iterations, c, simulate_round_limit, dirichlet_alpha,
             dirichlet_epsilon, temperature, negamax,
+            mcts_iterations=mcts_iterations,
         )
         states, done = _apply_round(env, states, done, action)
         return states, done, rng, t + 1
@@ -273,15 +281,19 @@ def play(
     round_limit: int = 400,
     record: bool = False,
     metrics=None,
+    mcts_iterations: Optional[int] = None,
 ) -> PlayResult:
-    """Run the arena match; player 1 is side -1 (versus.rs:186)."""
+    """Run the arena match; player 1 is side -1 (versus.rs:186).
+
+    ``mcts_iterations`` overrides the rollout budget of pure-MCTS agents
+    only (default: the shared ``mcts_cfg.iterations``)."""
     from die_e_tpu.arena.records import GameRecord
 
     negamax = getattr(mcts_cfg, "negamax", False)
     search_args = (
         mcts_cfg.iterations, mcts_cfg.c, mcts_cfg.simulate_round_limit,
         mcts_cfg.dirichlet_alpha, mcts_cfg.dirichlet_epsilon, temperature,
-        negamax,
+        negamax, mcts_iterations,
     )
 
     games = []

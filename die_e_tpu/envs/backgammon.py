@@ -357,16 +357,14 @@ def _pack_signature(board, bar, off):
     return k[0], k[1], k[2], k[3], k4.astype(jnp.int32)
 
 
-def legal_mask(state: BgState) -> jnp.ndarray:
-    """[1352] bool legal-action mask, equal to
-    {encode(m) for m in reference get_valid_moves()} plus the no-op action
-    when (and only when) no move is legal.
+def _mask_tables(state: BgState) -> dict:
+    """Stage 1 of the legal-mask kernel: single-move legality tables.
 
-    The no-op bit diverges from the reference, which returns an empty move
-    list and relies on all-zero policy probabilities to trigger skip_turn
-    (alpha_parallel.rs:183-189); making the no-op explicitly legal yields the
-    identical trajectory (skip) while keeping the MCTS tree well-formed.
-    """
+    Returns the [2(die order), 26(digit)] first-move tables, the 52
+    intermediate states after each candidate first move, and the
+    [2, 26, 26] second-move table (reference get_entry_moves /
+    get_normal_moves evaluated over the fixed digit grid instead of the
+    recursive ActionNode tree, backgammon_logic.rs:544-720)."""
     board, bar, off, player = state.board, state.bar, state.off, state.player
     roll = state.roll
     high = jnp.maximum(roll[0], roll[1])
@@ -414,6 +412,26 @@ def legal_mask(state: BgState) -> jnp.ndarray:
         d_second
     )
     any2 = jnp.any(legal2, axis=-1)  # [2, 26]
+    return dict(
+        legal1=legal1, t1_tab=t1_tab, s1_board=s1_board, s1_bar=s1_bar,
+        s1_off=s1_off, legal2=legal2, t2_tab=t2_tab, any2=any2,
+        d_first=d_first, d_second=d_second, high=high, low=low,
+    )
+
+
+def _mask_raw(state: BgState, tb: dict):
+    """Stage 2: per-action raw legality + exact resulting-state signature.
+
+    Evaluates all 1352 encoded actions against the stage-1 tables: the
+    canonical-encoding filter (mirror of encode, backgammon_logic.rs:262-359),
+    tree legality under either die attribution, the tree-order priority used
+    for duplicate tie-breaks, and the packed signature of the reached state.
+    Returns (raw [1352] bool, keys [1352, 5] i32, prio [1352] i32)."""
+    roll, player = state.roll, state.player
+    legal1, legal2 = tb["legal1"], tb["legal2"]
+    t1_tab, t2_tab, any2 = tb["t1_tab"], tb["t2_tab"], tb["any2"]
+    s1_board, s1_bar, s1_off = tb["s1_board"], tb["s1_bar"], tb["s1_off"]
+    high, low = tb["high"], tb["low"]
 
     # -- per-action evaluation [1352]; all index tables are host numpy
     # constants (_F1D etc.) so these lower to static gathers
@@ -516,6 +534,15 @@ def legal_mask(state: BgState) -> jnp.ndarray:
     )
     delta = jnp.concatenate([dk_rows, dk4[None, :]], axis=0).T  # [1352, 5]
     keys = base_keys + jnp.where(single[:, None], 0, delta)
+    return raw, keys, prio
+
+
+def _mask_dedup(state: BgState, tb: dict, raw, keys, prio):
+    """Stage 3: exact duplicate-resulting-state removal over the raw mask
+    (remove_duplicate_states, backgammon_logic.rs:753-774).  Returns the
+    final [1352] mask WITHOUT the no-op bit."""
+    player = state.player
+    d_first, d_second = tb["d_first"], tb["d_second"]
 
     # -- sort-free exact duplicate removal (remove_duplicate_states,
     # backgammon_logic.rs:753-774).  Two raw actions reach the same state
@@ -569,7 +596,25 @@ def legal_mask(state: BgState) -> jnp.ndarray:
         same = jnp.all(pp[:, :5] == keys, axis=-1)
         dup = dup | ((pp[:, 6] > 0) & same & (pp[:, 5] < prio))
 
-    mask = raw & (~dup)
+    return raw & (~dup)
+
+
+def legal_mask(state: BgState) -> jnp.ndarray:
+    """[1352] bool legal-action mask, equal to
+    {encode(m) for m in reference get_valid_moves()} plus the no-op action
+    when (and only when) no move is legal.
+
+    The no-op bit diverges from the reference, which returns an empty move
+    list and relies on all-zero policy probabilities to trigger skip_turn
+    (alpha_parallel.rs:183-189); making the no-op explicitly legal yields the
+    identical trajectory (skip) while keeping the MCTS tree well-formed.
+
+    Staged as tables -> raw+signatures -> dedup so the bench can attribute
+    cost per stage (bench/profile_mask.py).
+    """
+    tb = _mask_tables(state)
+    raw, keys, prio = _mask_raw(state, tb)
+    mask = _mask_dedup(state, tb, raw, keys, prio)
     return mask.at[NOOP_ACTION].set(~jnp.any(mask))
 
 

@@ -39,8 +39,11 @@ from flax import struct
 
 from die_e_tpu.ops.rows import LANE, gather_rows, pad_actions, scatter_rows
 
-NO_PARENT = jnp.int32(-1)
-UNVISITED = jnp.int32(-1)
+# plain ints, not jnp scalars: module import must not initialize the XLA
+# backend (jax.distributed.initialize requires a pristine backend, and the
+# multihost worker imports this transitively before joining the cluster)
+NO_PARENT = -1
+UNVISITED = -1
 
 
 @struct.dataclass
@@ -111,7 +114,7 @@ def init_tree(env, states, capacity: int) -> Tree:
     winner = jax.vmap(env.winner)(states)
     player0 = jax.vmap(env.player)(states)
     return Tree(
-        parent=jnp.full((b, n), NO_PARENT),
+        parent=jnp.full((b, n), NO_PARENT, jnp.int32),
         action=jnp.full((b, n), jnp.int32(-1)),
         edge_prior=jnp.zeros((b, n), jnp.float32),
         # bf16: the prior store is the only [B,N,A]-scale array; PUCT
