@@ -10,11 +10,13 @@ that cost:
 * raw    — + per-action canonical filter, tree legality, signatures
 * full   — + duplicate-resulting-state removal and the no-op bit
 
-Each prefix is one jitted vmapped program over [B] states; a scalar
-checksum is returned so fetch cost is constant.  Chained rng per call
-(axon tunnel caches identical (program, inputs) pairs).
+Each prefix runs ITERS times inside one jitted fori_loop with the dice re-
+derived from the running checksum each iteration (a data dependency XLA
+cannot hoist), so the axon tunnel's ~25 ms per-dispatch overhead is
+amortized to noise.  np.asarray fetches; fresh seeds per call so the tunnel
+never serves a cached (program, inputs) pair.
 
-Usage: python -m bench.profile_mask [--batch 1024] [--calls 4]
+Usage: python -m bench.profile_mask [--batch 1024] [--iters 16] [--calls 2]
 """
 
 from __future__ import annotations
@@ -32,7 +34,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
-    ap.add_argument("--calls", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--calls", type=int, default=2)
     args = ap.parse_args()
 
     from die_e_tpu.envs import backgammon as bg
@@ -51,16 +54,29 @@ def main():
     def full_sum(state):
         return jnp.sum(bg.legal_mask(state).astype(jnp.int32))
 
-    @partial(jax.jit, static_argnames=("fn",))
-    def run(states, seeds, fn):
-        # perturb per-call via fresh seeds so the tunnel cache never hits
-        states = states.replace(seed=seeds)
-        return jnp.sum(jax.vmap(fn)(states))
+    @partial(jax.jit, static_argnames=("fn", "iters"))
+    def run(states, salt, fn, iters):
+        def body(i, carry):
+            states, acc = carry
+            # re-derive dice from the running checksum: a real data
+            # dependency between iterations, same mask workload each time
+            r0 = 1 + (acc + salt + i) % 6
+            r1 = 1 + (acc * 7 + i) % 6
+            roll = jnp.stack(
+                [jnp.full((states.roll.shape[0],), r0, jnp.int32),
+                 jnp.full((states.roll.shape[0],), r1, jnp.int32)], axis=1
+            )
+            states = states.replace(roll=roll)
+            acc = jnp.sum(jax.vmap(fn)(states)) % 1009
+            return states, acc
+
+        return jax.lax.fori_loop(
+            0, iters, body, (states, jnp.int32(0))
+        )[1]
 
     states = jax.vmap(bg.init)(jnp.arange(args.batch, dtype=jnp.uint32))
-    # advance a few plies for representative positions
     step_rng = jax.random.PRNGKey(0)
-    for _ in range(4):
+    for _ in range(4):  # advance to representative positions
         step_rng, sub = jax.random.split(step_rng)
         legal = jax.jit(jax.vmap(bg.legal_mask))(states)
         logits = jnp.where(legal, 0.0, -jnp.inf)
@@ -70,13 +86,11 @@ def main():
     results = {}
     for name, fn in (("tables", tables_sum), ("raw", raw_sum),
                      ("full", full_sum)):
-        seeds0 = jnp.arange(args.batch, dtype=jnp.uint32)
-        _ = np.asarray(run(states, seeds0, fn))  # compile + warm
+        _ = np.asarray(run(states, jnp.int32(0), fn, args.iters))
         t0 = time.perf_counter()
         for i in range(args.calls):
-            seeds = seeds0 + jnp.uint32(1000 + i)
-            _ = np.asarray(run(states, seeds, fn))
-        dt = (time.perf_counter() - t0) / args.calls
+            _ = np.asarray(run(states, jnp.int32(1 + i), fn, args.iters))
+        dt = (time.perf_counter() - t0) / (args.calls * args.iters)
         results[name] = dt * 1e3
         print(json.dumps({
             "metric": f"legal_mask_stage_{name}",
