@@ -249,12 +249,28 @@ def encode_move(f1, t1, f2, t2, single, roll, player):
 # ---------------------------------------------------------------------------
 
 
+def _cell(board, idx):
+    """board[idx] as a one-hot masked reduction over the 24-cell axis.
+
+    A dynamic gather lowers to a slow scatter/gather loop on TPU (measured
+    cost cliff, see module doc); a 24-wide masked reduction fuses into the
+    surrounding elementwise work."""
+    oh = jnp.arange(24) == idx
+    return jnp.sum(jnp.where(oh, board, 0))
+
+
 def apply_submove(board, bar, off, player, frm, to, valid):
     """Apply one sub-move (f -> t), masked by ``valid``.
 
     frm == -1 means entry from the bar, to == -1 means bear-off; hitting a
     lone opposing checker sends it to the opponent's bar.  Mirrors
     get_next_state's per-action body (backgammon_logic.rs:469-515).
+
+    All cell addressing is one-hot select/update (no dynamic gathers or
+    scatters — the TPU cost cliff); ``to`` and ``frm`` never address the
+    same cell when both writes are live (a die is >= 1, and entry/bear-off
+    mask the other write), so the where-writes commute with the original
+    .at[] forms.
     """
     own = (player + 1) // 2
     opp = 1 - own
@@ -262,14 +278,19 @@ def apply_submove(board, bar, off, player, frm, to, valid):
     is_entry = frm < 0
     toc = jnp.clip(to, 0, 23)
     frmc = jnp.clip(frm, 0, 23)
-    hit = valid & (~is_collect) & (board[toc] == -player)
+    cells = jnp.arange(24)
+    oh_to = cells == toc
+    oh_frm = cells == frmc
+    b_to = jnp.sum(jnp.where(oh_to, board, 0))
+    hit = valid & (~is_collect) & (b_to == -player)
     write_to = valid & (~is_collect)
-    new_to = jnp.where(hit, player, board[toc] + player)
-    board = board.at[toc].set(jnp.where(write_to, new_to, board[toc]))
-    board = board.at[frmc].add(jnp.where(valid & (~is_entry), -player, 0))
-    bar = bar.at[own].add(jnp.where(valid & is_entry, -1, 0))
-    bar = bar.at[opp].add(jnp.where(hit, 1, 0))
-    off = off.at[own].add(jnp.where(valid & is_collect, 1, 0))
+    new_to = jnp.where(hit, player, b_to + player)
+    board = jnp.where(oh_to & write_to, new_to, board)
+    board = board - jnp.where(oh_frm & valid & (~is_entry), player, 0)
+    sides = jnp.arange(2)
+    bar = bar - jnp.where((sides == own) & valid & is_entry, 1, 0)
+    bar = bar + jnp.where((sides == opp) & hit, 1, 0)
+    off = off + jnp.where((sides == own) & valid & is_collect, 1, 0)
     return board, bar, off
 
 
@@ -287,7 +308,8 @@ def _is_collectible(board, bar, player):
     neg_outside = jnp.any(jnp.where(idx >= 6, board, 0) < 0)
     pos_outside = jnp.any(jnp.where(idx < 18, board, 0) > 0)
     blocked = jnp.where(player < 0, neg_outside, pos_outside)
-    return (bar[own] == 0) & (~blocked)
+    bar_own = jnp.sum(jnp.where(jnp.arange(2) == own, bar, 0))
+    return (bar_own == 0) & (~blocked)
 
 
 def legal_single(board, bar, off, player, die, f):
@@ -296,11 +318,14 @@ def legal_single(board, bar, off, player, die, f):
     move generators (entry :668-681, normal :600-616, bear-off :562-597)."""
     del off
     own = (player + 1) // 2
-    has_bar = bar[own] > 0
+    has_bar = jnp.sum(jnp.where(jnp.arange(2) == own, bar, 0)) > 0
 
-    # --- entry from the bar (get_entry_moves :668-681)
+    # --- entry from the bar (get_entry_moves :668-681).  Cell reads are
+    # one-hot reductions (_cell): dynamic gathers over the board axis hit
+    # the TPU cost cliff once this is vmapped over [B, 2, 26, 26]
     e = jnp.where(player < 0, 24 - die, die - 1)
-    entry_open = jnp.where(player < 0, board[e] < 2, board[e] > -2)
+    b_e = _cell(board, e)
+    entry_open = jnp.where(player < 0, b_e < 2, b_e > -2)
     legal_entry = has_bar & (f == 24) & entry_open
 
     on_board = (f >= 0) & (f <= 23)
@@ -308,8 +333,10 @@ def legal_single(board, bar, off, player, die, f):
     t_raw = fc + die * player
     in_range = (t_raw >= 0) & (t_raw <= 23)
     tc = jnp.clip(t_raw, 0, 23)
-    own_piece = jnp.where(player < 0, board[fc] <= -1, board[fc] >= 1)
-    dest_open = jnp.where(player < 0, board[tc] <= 1, board[tc] >= -1)
+    b_fc = _cell(board, fc)
+    b_tc = _cell(board, tc)
+    own_piece = jnp.where(player < 0, b_fc <= -1, b_fc >= 1)
+    dest_open = jnp.where(player < 0, b_tc <= 1, b_tc >= -1)
 
     # --- normal move (get_normal_moves :600-616)
     legal_normal = (~has_bar) & on_board & in_range & own_piece & dest_open
@@ -555,14 +582,21 @@ def _mask_dedup(state: BgState, tb: dict, raw, keys, prio):
     # final arbiter, so spurious candidates are harmless; the enumeration
     # below only has to be complete.
     #
-    # TPU shape: candidate properties are read from the [2(block), 26(f2),
-    # 26(f1)]-reshaped property tensor via shifted-diagonal extractions
-    # (a masked reduction over a 26-axis) and static gathers — a dynamic
-    # [1352]-wide gather or sort would be 2 orders of magnitude slower.
+    # TPU shape: everything happens in the [2(block), 26(f2 digit),
+    # 26(f1 digit)] grid the action space reshapes to (action = block*676
+    # + f2*26 + f1).  Chain-partner properties are [2, 26, 7] tables
+    # extracted by shifted-diagonal masked reductions and then BROADCAST
+    # along the grid axis they do not depend on; the transposition partner
+    # is an axis swap.  No [1352]-wide gathers at all (a dynamic gather or
+    # sort here would be 2 orders of magnitude slower, and even static
+    # [1352, 7] gathers materialize 14 full-size property tensors).
     props = jnp.concatenate(
         [keys, prio[:, None], raw[:, None].astype(jnp.int32)], axis=1
     )  # [1352, 7]
-    props_mat = props.reshape(2, 26, 26, 7)  # [block, f2 digit, f1 digit, prop]
+    pm = props.reshape(2, 26, 26, 7)  # [block, f2 digit, f1 digit, prop]
+    keys_g = pm[..., :5]
+    prio_g = pm[..., 5]
+    raw_g = pm[..., 6] > 0
 
     digit_axis = jnp.arange(26)
     # intermediate cell digit reached from digit f with a given die
@@ -571,32 +605,40 @@ def _mask_dedup(state: BgState, tb: dict, raw, keys, prio):
     m2 = jnp.stack([_to_of(digit_axis, d_second[b], player) for b in range(2)])
 
     def diag_f2(mtab):
-        # D[b, f, p] = props_mat[b, mtab[b, f], f, p]
+        # D[b, f, p] = pm[b, mtab[b, f], f, p]
         mask = mtab[:, None, :] == digit_axis[None, :, None]  # [2, 26(r), 26(f)]
-        return jnp.sum(props_mat * mask[..., None], axis=1)  # [2, 26, 7]
+        return jnp.sum(pm * mask[..., None], axis=1)  # [2, 26, 7]
 
     def diag_f1(mtab):
-        # D[b, f, p] = props_mat[b, f, mtab[b, f], p]
+        # D[b, f, p] = pm[b, f, mtab[b, f], p]
         mask = mtab[:, :, None] == digit_axis[None, None, :]  # [2, 26(f), 26(r)]
-        return jnp.sum(props_mat * mask[..., None], axis=2)  # [2, 26, 7]
+        return jnp.sum(pm * mask[..., None], axis=2)  # [2, 26, 7]
 
-    e_fm = diag_f2(m1)                    # partner (f, m) in block b
-    e_mf = diag_f1(m2)                    # partner (m, f) in block b
-    e_single = props_mat[:, 25, :, :]     # partner (f, no-second-move)
+    e_fm = diag_f2(m1)                # partner (f1=f, f2=m1[f]) in block b
+    e_mf = diag_f1(m2)                # partner (f1=m2[f], f2=f) in block b
+    e_single = pm[:, 25, :, :]        # partner (f1=f, no-second-move)
 
-    partner_props = [props[_T_HI], props[_T_LO]]
+    def beats(pp):
+        """pp broadcastable against the [2, 26, 26, 7] grid: partner is
+        raw-legal, reaches the same state, and precedes in tree order."""
+        same = jnp.all(pp[..., :5] == keys_g, axis=-1)
+        return (pp[..., 6] > 0) & same & (pp[..., 5] < prio_g)
+
+    pt = jnp.swapaxes(pm, 1, 2)  # pt[b, r, c] = pm[b, c, r] (digit swap)
+    dup_g = jnp.zeros((2, 26, 26), bool)
     for b in range(2):
-        for x in (_F1D, _F2D):
-            partner_props.append(e_fm[b][x])
-            partner_props.append(e_mf[b][x])
-            partner_props.append(e_single[b][x])
+        # transposition partner in block b (the old props[_T_HI/_T_LO])
+        dup_g = dup_g | beats(pt[b][None, :, :, :])
+        # chain partners indexed by the source's f1 digit (grid column,
+        # the old e_*[b][_F1D]) and f2 digit (grid row, e_*[b][_F2D])
+        dup_g = dup_g | beats(e_fm[b][None, None, :, :])
+        dup_g = dup_g | beats(e_fm[b][None, :, None, :])
+        dup_g = dup_g | beats(e_mf[b][None, None, :, :])
+        dup_g = dup_g | beats(e_mf[b][None, :, None, :])
+        dup_g = dup_g | beats(e_single[b][None, None, :, :])
+        dup_g = dup_g | beats(e_single[b][None, :, None, :])
 
-    dup = jnp.zeros(NUM_ACTIONS, bool)
-    for pp in partner_props:
-        same = jnp.all(pp[:, :5] == keys, axis=-1)
-        dup = dup | ((pp[:, 6] > 0) & same & (pp[:, 5] < prio))
-
-    return raw & (~dup)
+    return (raw_g & (~dup_g)).reshape(NUM_ACTIONS)
 
 
 def legal_mask(state: BgState) -> jnp.ndarray:

@@ -16,6 +16,7 @@ Usage:  python scripts/parity_sweep.py [n_games] [max_steps]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from functools import partial
@@ -26,6 +27,13 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+if os.environ.get("DIE_E_SWEEP_TPU", "0") != "1":
+    # the parity sweep is a CPU-vs-C++-oracle check; keep it off the real
+    # chip (a sitecustomize PJRT plugin overrides JAX_PLATFORMS, so the
+    # config update after import is the only reliable way to force CPU)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from die_e_tpu.envs import backgammon as bg
