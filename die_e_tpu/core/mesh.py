@@ -54,10 +54,19 @@ def shard_batch(mesh: Mesh, tree):
 
 
 def compute_dtype():
-    """bf16 on TPU for inference-path compute, f32 elsewhere (reference uses
-    f32 everywhere, DEFAULT_TYPE src/lib.rs:20; bf16 is the TPU-native
-    choice for the MXU)."""
+    """Inference-path compute dtype policy (reference uses f32 everywhere,
+    DEFAULT_TYPE src/lib.rs:20).
+
+    Default f32: measured on the real chip (BASELINE.md round 2), explicit
+    bf16 makes the 256x19 ResNet search SLOWER (46.5k vs 49.6k sims/s at
+    B=1024) because XLA already routes f32 convs through bf16 MXU passes
+    with f32 accumulation, so the explicit-bf16 graph only adds casts.
+    Set DIE_E_BF16=1 to opt in (worth re-measuring for larger nets)."""
+    import os
+
     import jax.numpy as jnp
 
-    platform = jax.default_backend()
-    return jnp.bfloat16 if platform == "tpu" else jnp.float32
+    if os.environ.get("DIE_E_BF16", "0") == "1" and \
+            jax.default_backend() == "tpu":
+        return jnp.bfloat16
+    return jnp.float32
