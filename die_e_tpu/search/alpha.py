@@ -44,13 +44,13 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from die_e_tpu.envs.base import freeze_where
 from die_e_tpu.ops.rows import scatter_rows
 from die_e_tpu.search.tree import (
     Tree,
     allocate,
     backprop,
     children_of,
-    gather_states,
     init_tree,
     node_field,
     prior_row,
@@ -84,16 +84,22 @@ def _dirichlet_legal(rng, alpha, legal):
     return g / jnp.maximum(jnp.sum(g, axis=-1, keepdims=True), 1e-30)
 
 
-def select_and_allocate(tree: Tree, env, c: float, root_player=None):
+def select_and_allocate(tree: Tree, env, root_states, c: float,
+                        root_player=None):
     """Descend every game from its root by PUCT until an unexpanded node,
     materializing first-visited children on the way (alpha_select_leaf_node,
     src/mcts/alpha_mcts.rs:14-20, with deferred allocation — see tree.py).
+    Returns (tree, leaf_idx [B], leaf_states).
 
     PUCT score q + c * sqrt(parent_visits) / (child_visits + 1) * prior
     (alpha_ucb, src/mcts/node.rs:98-112).  Materialized children are scored
     on [B, N] node arrays (their edge prior was recorded at allocation);
     unmaterialized children have q = 0, visits = 0, so their score is
     c * sqrt(parent_visits) * prior, computed on the [B, A] prior row.
+
+    The current state is CARRIED down the descent and re-stepped with the
+    traversed action each level (env.step is deterministic, so this
+    reproduces the node's state exactly); the tree stores no states.
     """
     cur0 = jnp.zeros((tree.batch_size,), jnp.int32)
 
@@ -101,11 +107,11 @@ def select_and_allocate(tree: Tree, env, c: float, root_player=None):
         return node_field(tree, tree.expanded.astype(jnp.int32), cur) > 0
 
     def cond(carry):
-        tree, cur = carry
+        tree, cur, _ = carry
         return jnp.any(expanded_at(tree, cur))
 
     def body(carry):
-        tree, cur = carry
+        tree, cur, cur_state = carry
         active = expanded_at(tree, cur)
         p_row = prior_row(tree, cur)                       # [B, A]
         vc = node_field(tree, tree.visits, cur)            # [B]
@@ -147,7 +153,15 @@ def select_and_allocate(tree: Tree, env, c: float, root_player=None):
             jnp.where(oh_a, jnp.maximum(p_row, 0.0), 0.0), axis=-1
         )
         do_alloc = active & choose_new
-        tree, new_idx = allocate(tree, env, cur, best_a, edge_p, do_alloc)
+        # one env.step per level reproduces the next node's state, whether
+        # it is the freshly allocated child (action best_a) or an already
+        # materialized one (its stored edge action)
+        act_n = node_field(tree, tree.action, best_n)
+        action_next = jnp.where(choose_new, best_a, act_n)
+        next_state = jax.vmap(env.step)(cur_state, action_next)
+        tree, new_idx = allocate(
+            tree, env, cur, best_a, edge_p, do_alloc, next_state
+        )
         # mark the taken action on the parent's prior row in place
         # (-2 - p stays distinguishable from the -1.0 illegal sentinel);
         # a per-row DMA on TPU, so the cost is independent of N
@@ -164,9 +178,10 @@ def select_and_allocate(tree: Tree, env, c: float, root_player=None):
         )
         nxt = jnp.where(choose_new, new_idx, best_n)
         cur = jnp.where(active, nxt, cur)
-        return tree, cur
+        cur_state = freeze_where(~active, cur_state, next_state)
+        return tree, cur, cur_state
 
-    return jax.lax.while_loop(cond, body, (tree, cur0))
+    return jax.lax.while_loop(cond, body, (tree, cur0, root_states))
 
 
 def expand(tree: Tree, leaf, prior_rows, mask) -> Tree:
@@ -214,10 +229,9 @@ def alpha_search(
 
     # --- search loop: one batched NN call per iteration
     def body(_, tree):
-        tree, leaf = select_and_allocate(
-            tree, env, c, root_player if negamax else None
+        tree, leaf, leaf_states = select_and_allocate(
+            tree, env, states, c, root_player if negamax else None
         )
-        leaf_states = gather_states(tree, leaf)
         obs = jax.vmap(env.observe)(leaf_states)
         policy, value = eval_fn(params, obs)
         legal = jax.vmap(env.legal_mask)(leaf_states)

@@ -45,7 +45,6 @@ from die_e_tpu.search.tree import (
     allocate,
     backprop,
     children_of,
-    gather_states,
     init_tree,
     node_field,
     prior_row,
@@ -61,9 +60,11 @@ def _legal_rows(env, states):
     return jnp.where(legal, 1.0, -1.0)
 
 
-def _select_leaf(tree: Tree, env, c: float, root_player):
+def _select_leaf(tree: Tree, env, root_states, c: float, root_player):
     """Descend by UCB1 until a node with unexpanded moves (or terminal).
-    All scoring happens on [B, N] node arrays via the parent==cur match."""
+    All scoring happens on [B, N] node arrays via the parent==cur match;
+    the current state is carried and re-stepped per level (the tree stores
+    no states — see tree.py).  Returns (leaf_idx [B], leaf_states)."""
     cur0 = jnp.zeros((tree.batch_size,), jnp.int32)
 
     def fully_expanded(tree, cur):
@@ -73,13 +74,13 @@ def _select_leaf(tree: Tree, env, c: float, root_player):
         return (nl > 0) & (ne >= nl) & (~done)
 
     def cond(carry):
-        tree, cur = carry
+        cur, _ = carry
         return jnp.any(fully_expanded(tree, cur))
 
     def body(carry):
-        tree, cur = carry
+        cur, cur_state = carry
         active = fully_expanded(tree, cur)
-        cur_player = jax.vmap(env.player)(gather_states(tree, cur))
+        cur_player = node_field(tree, tree.node_player, cur)
         sign = (cur_player == root_player).astype(jnp.float32) * 2.0 - 1.0
         pv = jnp.maximum(node_field(tree, tree.visits, cur), 1.0)
 
@@ -89,11 +90,13 @@ def _select_leaf(tree: Tree, env, c: float, root_player):
         explore = jnp.sqrt(c * jnp.log(pv)[:, None] / cv)
         score_n = jnp.where(is_child, exploit + explore, -jnp.inf)
         nxt = jnp.argmax(score_n, axis=-1).astype(jnp.int32)
+        act_n = node_field(tree, tree.action, nxt)
+        next_state = jax.vmap(env.step)(cur_state, act_n)
         cur = jnp.where(active, nxt, cur)
-        return tree, cur
+        cur_state = freeze_where(~active, cur_state, next_state)
+        return cur, cur_state
 
-    _, cur = jax.lax.while_loop(cond, body, (tree, cur0))
-    return cur
+    return jax.lax.while_loop(cond, body, (cur0, root_states))
 
 
 def _next_expand_action(tree: Tree, cur):
@@ -174,7 +177,7 @@ def simple_search(
     def body(i, carry):
         tree, rng = carry
         rng, r_expand = jax.random.split(rng)
-        leaf = _select_leaf(tree, env, c, player)
+        leaf, leaf_states = _select_leaf(tree, env, states, c, player)
         is_term = node_field(tree, tree.node_done.astype(jnp.int32), leaf) > 0
         w = node_field(tree, tree.node_winner, leaf)
         term_val = jnp.where(w == player, 1.0, jnp.where(w == -player, -1.0, 0.0))
@@ -182,17 +185,21 @@ def simple_search(
         # expand one child for non-terminal leaves (node.rs:118-137)
         action, can_expand = _next_expand_action(tree, leaf)
         do_expand = can_expand & ~is_term
+        child_states = jax.vmap(env.step)(leaf_states, action)
         tree, new_idx = allocate(
-            tree, env, leaf, action, jnp.zeros_like(term_val), do_expand
+            tree, env, leaf, action, jnp.zeros_like(term_val), do_expand,
+            child_states,
         )
         oh_leaf = leaf[:, None] == jnp.arange(tree.capacity)[None, :]
         tree = tree.replace(
             num_expanded=tree.num_expanded
             + (oh_leaf & do_expand[:, None]).astype(jnp.int32)
         )
-        # record the new node's legality for its own later expansion
+        # record the new node's legality for its own later expansion;
+        # the evaluated state is the fresh child where one was expanded,
+        # else the (terminal/full) leaf itself
         target = jnp.where(do_expand, new_idx, leaf)
-        new_states = gather_states(tree, target)
+        new_states = freeze_where(do_expand, child_states, leaf_states)
         tree = set_prior_row(tree, target, _legal_rows(env, new_states), do_expand)
 
         # evaluate: rollout from the new child, or terminal value at leaf

@@ -24,6 +24,13 @@ this scale; masked reductions over the small N axis fuse and cost ~0.1ms):
   node.rs:139-174).  Search semantics (PUCT scores, visit counts) are
   unchanged because an unvisited reference child always has visits=0,
   value=0, so capacity ``N = iterations + 1`` suffices.
+* env states are NOT stored on the tree at all: ``env.step`` is
+  deterministic (counter-based dice stream), so the state at any node is
+  reproduced by re-stepping along the descent path — the select loops
+  carry the current state and pay one cheap [B]-wide ``env.step`` per
+  level instead of a [B, N, state]-wide masked gather AND full-array
+  write per allocation (the dominant tree-mechanics HBM traffic).
+  Only scalar node metadata (done/winner/player) is recorded.
 
 The only [B, N, A]-sized array is ``prior`` (one row written per
 expansion, one row read per selection level).
@@ -71,7 +78,6 @@ class Tree:
     num_expanded: jnp.ndarray  # [B, N] i32 — children created (rollout search)
     num_legal: jnp.ndarray    # [B, N] i32 — legal actions (set with the prior)
     node_count: jnp.ndarray   # [B] i32 — allocated nodes per game
-    states: Any               # env-state pytree, leaves [B, N, ...]
     action_count: Any = struct.field(pytree_node=False, default=0)  # true A
 
     @property
@@ -99,17 +105,14 @@ def node_onehot(tree: Tree, idx):
 
 
 def init_tree(env, states, capacity: int) -> Tree:
-    """Preallocate the tree with root nodes (slot 0) holding ``states``."""
+    """Preallocate the tree with root nodes (slot 0) for ``states``
+    (root metadata only; states themselves are never stored — see module
+    doc)."""
     first = jax.tree_util.tree_leaves(states)[0]
     b = first.shape[0]
     n = capacity
     a = env.spec.num_actions
 
-    def alloc(leaf):
-        out = jnp.zeros((b, n) + leaf.shape[1:], leaf.dtype)
-        return out.at[:, 0].set(leaf)
-
-    stacked = jax.tree_util.tree_map(alloc, states)
     done = jax.vmap(env.done)(states)
     winner = jax.vmap(env.winner)(states)
     player0 = jax.vmap(env.player)(states)
@@ -134,7 +137,6 @@ def init_tree(env, states, capacity: int) -> Tree:
         num_expanded=jnp.zeros((b, n), jnp.int32),
         num_legal=jnp.zeros((b, n), jnp.int32),
         node_count=jnp.ones((b,), jnp.int32),
-        states=stacked,
         action_count=a,
     )
 
@@ -145,44 +147,27 @@ def _reduce_at(leaf, oh):
     return jnp.sum(jnp.where(ohx, leaf, jnp.zeros((), leaf.dtype)), axis=1)
 
 
-def gather_states(tree: Tree, idx):
-    """states of node ``idx`` [B] -> pytree with leaves [B, ...]."""
-    oh = node_onehot(tree, idx)
-    return jax.tree_util.tree_map(lambda leaf: _reduce_at(leaf, oh), tree.states)
-
-
 def node_field(tree: Tree, field, idx):
     """field[b, idx[b]] for a [B, N] field, as a masked reduction."""
     oh = node_onehot(tree, idx)
     return _reduce_at(field, oh)
 
 
-def write_states(tree_states, oh, new_states, mask):
-    """Overwrite the node slots marked by ``oh`` (per-game one-hot) with
-    ``new_states`` where ``mask``."""
-    sel = oh & mask[:, None]
-
-    def upd(leaf, s):
-        selx = sel.reshape(sel.shape + (1,) * (leaf.ndim - 2))
-        sx = s.reshape(s.shape[:1] + (1,) + s.shape[1:])
-        return jnp.where(selx, sx.astype(leaf.dtype), leaf)
-
-    return jax.tree_util.tree_map(upd, tree_states, new_states)
-
-
-def allocate(tree: Tree, env, parent_idx, action_idx, edge_p, mask) -> tuple:
+def allocate(tree: Tree, env, parent_idx, action_idx, edge_p, mask,
+             child_states) -> tuple:
     """Materialize the child reached from ``parent_idx`` via ``action_idx``
     for games where ``mask``; returns (tree, new_node_idx [B]).
 
-    ``edge_p`` is the prior of the traversed edge, recorded on the node so
-    PUCT never has to look it up again.  Equivalent to the reference's
-    NodeStore::add_node at first visit (node_store.rs:24-43).
+    ``child_states`` is the stepped state of the new node, computed by the
+    caller from the state it is already carrying down the descent path
+    (states are never stored on the tree — see module doc).  ``edge_p`` is
+    the prior of the traversed edge, recorded on the node so PUCT never has
+    to look it up again.  Equivalent to the reference's NodeStore::add_node
+    at first visit (node_store.rs:24-43).
     """
     new_idx = tree.node_count
     oh_new = node_onehot(tree, new_idx)
     sel = oh_new & mask[:, None]
-    parent_states = gather_states(tree, parent_idx)
-    child_states = jax.vmap(env.step)(parent_states, action_idx)
     done = jax.vmap(env.done)(child_states)
     winner = jax.vmap(env.winner)(child_states)
     child_player = jax.vmap(env.player)(child_states)
@@ -194,7 +179,6 @@ def allocate(tree: Tree, env, parent_idx, action_idx, edge_p, mask) -> tuple:
         node_winner=jnp.where(sel, winner[:, None], tree.node_winner),
         node_player=jnp.where(sel, child_player[:, None], tree.node_player),
         node_count=tree.node_count + mask.astype(jnp.int32),
-        states=write_states(tree.states, oh_new, child_states, mask),
     )
     return tree, new_idx
 
