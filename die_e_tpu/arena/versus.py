@@ -229,25 +229,23 @@ def _init_match(env, r_seed, num_games: int):
     static_argnames=(
         "env", "eval_fn", "kind1", "kind2", "iterations", "c",
         "simulate_round_limit", "dirichlet_alpha", "dirichlet_epsilon",
-        "temperature", "negamax", "mcts_iterations", "num_games",
-        "round_limit",
+        "temperature", "negamax", "mcts_iterations", "rounds",
     ),
 )
-def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
-                iterations, c, simulate_round_limit, dirichlet_alpha,
-                dirichlet_epsilon, temperature, negamax, mcts_iterations,
-                num_games, round_limit):
-    """The whole match — init, round loop, winners — as one fused program
-    (the same early-exit while_loop shape as self-play), used whenever no
-    host-side game recording is requested.  Removes the per-round Python
-    dispatch of the reference's host loop (versus.rs:192-253)."""
-    rng, r_seed = jax.random.split(rng)
-    states = _init_match(env, r_seed, num_games)
-    done = jax.vmap(env.done)(states)
+def _match_rounds(env, eval_fn, kind1, kind2, vars1, vars2, states, done,
+                  rng, iterations, c, simulate_round_limit, dirichlet_alpha,
+                  dirichlet_epsilon, temperature, negamax, mcts_iterations,
+                  rounds):
+    """Up to ``rounds`` fused arena rounds (early-exit while_loop) from
+    (states, done); returns the advanced (states, done, rng, rounds_run).
+    The match driver chains these so no single XLA execution runs for many
+    minutes (same bounded-program-duration rationale as
+    train/self_play.self_play_chunk; the rng is threaded through, so any
+    chunking plays the identical match)."""
 
     def cond(carry):
         _, done, _, t = carry
-        return (t < round_limit) & ~jnp.all(done)
+        return (t < rounds) & ~jnp.all(done)
 
     def body(carry):
         states, done, rng, t = carry
@@ -261,12 +259,38 @@ def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
         states, done = _apply_round(env, states, done, action)
         return states, done, rng, t + 1
 
-    states, done, _, rounds = jax.lax.while_loop(
-        cond, body, (states, done, rng, jnp.int32(0))
-    )
+    return jax.lax.while_loop(cond, body, (states, done, rng, jnp.int32(0)))
+
+
+ARENA_CHUNK_ROUNDS = 25
+
+
+def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
+                iterations, c, simulate_round_limit, dirichlet_alpha,
+                dirichlet_epsilon, temperature, negamax, mcts_iterations,
+                num_games, round_limit):
+    """The whole match — init, chunked fused round loop, winners — used
+    whenever no host-side game recording is requested.  Removes the
+    per-round Python dispatch of the reference's host loop
+    (versus.rs:192-253) while bounding each device program to
+    ARENA_CHUNK_ROUNDS rounds."""
+    rng, r_seed = jax.random.split(rng)
+    states = _init_match(env, r_seed, num_games)
+    done = jax.vmap(env.done)(states)
+
+    total = 0
+    while total < round_limit and not bool(jnp.all(done)):
+        rounds = min(ARENA_CHUNK_ROUNDS, round_limit - total)
+        states, done, rng, ran = _match_rounds(
+            env, eval_fn, kind1, kind2, vars1, vars2, states, done, rng,
+            iterations, c, simulate_round_limit, dirichlet_alpha,
+            dirichlet_epsilon, temperature, negamax, mcts_iterations,
+            rounds,
+        )
+        total += int(ran)
     # live games at the limit are draws (versus.rs:231-234)
     winner = jnp.where(done, jax.vmap(env.winner)(states), 0)
-    return winner, rounds
+    return winner, total
 
 
 def play(

@@ -6,7 +6,13 @@ from die_e_tpu.train.learner import (
     train_epoch,
     train_step,
 )
-from die_e_tpu.train.self_play import Trajectory, self_play, trajectory_to_memory
+from die_e_tpu.train.self_play import (
+    Trajectory,
+    self_play,
+    self_play_chunk,
+    self_play_hosted,
+    trajectory_to_memory,
+)
 from die_e_tpu.train.replay import Memory, load_training_data, save_training_data
 
 __all__ = [
@@ -18,6 +24,8 @@ __all__ = [
     "train_step",
     "Trajectory",
     "self_play",
+    "self_play_chunk",
+    "self_play_hosted",
     "trajectory_to_memory",
     "Memory",
     "load_training_data",

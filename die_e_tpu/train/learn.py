@@ -37,8 +37,8 @@ from die_e_tpu.train.learner import (
 )
 from die_e_tpu.train.replay import Memory, save_training_data
 from die_e_tpu.train.self_play import (
-    self_play,
     self_play_from_states,
+    self_play_hosted,
     trajectory_to_memory,
 )
 
@@ -120,8 +120,13 @@ def learn(
                     data=mesh.shape["data"], model=mesh.shape["model"])
 
     def run_self_play(variables, r_sp):
+        """Returns (obs, ps, outcome, winner [B], n_fragments).
+
+        Single-device: chunked host driver (bounded per-program duration
+        and memory, incremental fragment fetch).  Multi-device mesh: the
+        fully fused sharded program."""
         if mesh is None:
-            return self_play(
+            return self_play_hosted(
                 env, eval_fn, variables, r_sp,
                 batch_size=az.num_self_play_batches,
                 iterations=mcts_cfg.iterations,
@@ -137,7 +142,7 @@ def learn(
             r_seed, (az.num_self_play_batches,), 0, 2**31 - 1
         ).astype(jax.numpy.uint32)
         init_states = shard_batch(mesh, jax.vmap(env.init)(seeds))
-        return self_play_from_states(
+        traj = self_play_from_states(
             env, eval_fn, variables, init_states, r_sp,
             iterations=mcts_cfg.iterations,
             c=mcts_cfg.c,
@@ -147,6 +152,8 @@ def learn(
             round_limit=mcts_cfg.simulate_round_limit,
             negamax=mcts_cfg.negamax,
         )
+        obs, ps, outcome = trajectory_to_memory(traj, az.temperature)
+        return (obs, ps, outcome, np.asarray(traj.winner), len(obs))
 
     if start_iter:
         # keep the resumed run's randomness distinct from a fresh replay of
@@ -158,12 +165,12 @@ def learn(
         for sp_i in range(az.self_play_iterations):
             rng, r_sp = jax.random.split(rng)
             with Timer() as t:
-                traj = run_self_play(state.variables, r_sp)
-                obs, ps, outcome = trajectory_to_memory(traj, az.temperature)
+                obs, ps, outcome, winner, moves = run_self_play(
+                    state.variables, r_sp
+                )
             frag = Memory(states=obs, ps=ps, outcomes=outcome)
             memory = Memory.concat([memory, frag])
             save_training_data(frag, lrn_path / f"sp-{sp_i}")
-            moves = int(np.sum(np.asarray(traj.num_moves)))
             metrics.log(
                 "self_play",
                 learn_iter=l_i,
@@ -171,9 +178,9 @@ def learn(
                 fragments=len(frag),
                 moves_per_s=moves / max(t.elapsed, 1e-9),
                 sims_per_s=moves * mcts_cfg.iterations / max(t.elapsed, 1e-9),
-                wins_m1=int(np.sum(np.asarray(traj.winner) == -1)),
-                wins_p1=int(np.sum(np.asarray(traj.winner) == 1)),
-                draws=int(np.sum(np.asarray(traj.winner) == 0)),
+                wins_m1=int(np.sum(winner == -1)),
+                wins_p1=int(np.sum(winner == 1)),
+                draws=int(np.sum(winner == 0)),
             )
 
         for epoch in range(az.num_epochs):

@@ -60,48 +60,26 @@ class Trajectory:
     num_moves: jnp.ndarray  # [B]
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "env", "eval_fn", "iterations", "c",
-        "dirichlet_alpha", "dirichlet_epsilon", "temperature", "round_limit",
-        "negamax",
-    ),
-)
-def self_play_from_states(
-    env,
-    eval_fn,
-    params,
-    states,
-    rng,
-    iterations: int = 100,
-    c: float = 2.0,
-    dirichlet_alpha: float = 0.3,
-    dirichlet_epsilon: float = 0.25,
-    temperature: float = 1.25,
-    round_limit: int = 400,
-    negamax: bool = False,
-) -> Trajectory:
-    """Self-play from caller-provided initial states (the sharded multi-chip
-    path passes states pre-placed over the mesh's data axis).
-
-    A ``while_loop`` with preallocated [T, B] trajectory buffers replaces a
-    fixed-length scan: the loop exits as soon as every game is finished
-    (the reference's ``while !states.is_empty()``, alpha_parallel.rs:129),
-    which is a multi-x win when games end well before the round limit.
-    """
-    done0 = jax.vmap(env.done)(states)
+def _self_play_rounds(
+    env, eval_fn, params, states, done, rng,
+    iterations, c, dirichlet_alpha, dirichlet_epsilon, temperature,
+    rounds, negamax,
+):
+    """Traceable core: play up to ``rounds`` lockstep rounds from
+    (states, done), recording fragments; early-exits when every game is
+    done.  Returns (obs, probs, player, valid, final_states, final_done)
+    with buffers [rounds, B, ...]."""
     b = jax.tree_util.tree_leaves(states)[0].shape[0]
     h, w_, c_ = env.spec.obs_shape
     a = env.spec.num_actions
-    obs_buf = jnp.zeros((round_limit, b, h, w_, c_), jnp.float32)
-    probs_buf = jnp.zeros((round_limit, b, a), jnp.uint16)
-    player_buf = jnp.zeros((round_limit, b), jnp.int32)
-    valid_buf = jnp.zeros((round_limit, b), bool)
+    obs_buf = jnp.zeros((rounds, b, h, w_, c_), jnp.float32)
+    probs_buf = jnp.zeros((rounds, b, a), jnp.uint16)
+    player_buf = jnp.zeros((rounds, b), jnp.int32)
+    valid_buf = jnp.zeros((rounds, b), bool)
 
     def cond(carry):
         _, done, _, t, *_ = carry
-        return (t < round_limit) & ~jnp.all(done)
+        return (t < rounds) & ~jnp.all(done)
 
     def body(carry):
         states, done, rng, t, obs_buf, probs_buf, player_buf, valid_buf = carry
@@ -137,10 +115,83 @@ def self_play_from_states(
         return (states, new_done, rng, t + 1, obs_buf, probs_buf,
                 player_buf, valid_buf)
 
-    (final_states, done, _, _, obs, probs, player, valid) = jax.lax.while_loop(
+    (final_states, done, rng, _, obs, probs, player, valid) = jax.lax.while_loop(
         cond, body,
-        (states, done0, rng, jnp.int32(0), obs_buf, probs_buf, player_buf,
+        (states, done, rng, jnp.int32(0), obs_buf, probs_buf, player_buf,
          valid_buf),
+    )
+    # the final rng is returned so a chunked host driver threading it into
+    # the next chunk reproduces the one-program trajectory BIT-FOR-BIT
+    return obs, probs, player, valid, final_states, done, rng
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "env", "eval_fn", "iterations", "c",
+        "dirichlet_alpha", "dirichlet_epsilon", "temperature", "rounds",
+        "negamax",
+    ),
+)
+def self_play_chunk(
+    env, eval_fn, params, states, done, rng,
+    iterations: int = 100,
+    c: float = 2.0,
+    dirichlet_alpha: float = 0.3,
+    dirichlet_epsilon: float = 0.25,
+    temperature: float = 1.25,
+    rounds: int = 32,
+    negamax: bool = False,
+):
+    """One bounded chunk of the self-play loop (used by
+    :func:`self_play_hosted`): at most ``rounds`` rounds per device
+    program, so no single XLA execution runs for many minutes (the axon
+    worker has been observed to die under ~10-minute single programs) and
+    the host can fetch/filter fragments incrementally instead of holding
+    the full [round_limit, B, A] buffer on device."""
+    return _self_play_rounds(
+        env, eval_fn, params, states, done, rng,
+        iterations, c, dirichlet_alpha, dirichlet_epsilon, temperature,
+        rounds, negamax,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "env", "eval_fn", "iterations", "c",
+        "dirichlet_alpha", "dirichlet_epsilon", "temperature", "round_limit",
+        "negamax",
+    ),
+)
+def self_play_from_states(
+    env,
+    eval_fn,
+    params,
+    states,
+    rng,
+    iterations: int = 100,
+    c: float = 2.0,
+    dirichlet_alpha: float = 0.3,
+    dirichlet_epsilon: float = 0.25,
+    temperature: float = 1.25,
+    round_limit: int = 400,
+    negamax: bool = False,
+) -> Trajectory:
+    """Self-play from caller-provided initial states as ONE fused program
+    (the sharded multi-chip path passes states pre-placed over the mesh's
+    data axis).
+
+    A ``while_loop`` with preallocated [T, B] trajectory buffers replaces a
+    fixed-length scan: the loop exits as soon as every game is finished
+    (the reference's ``while !states.is_empty()``, alpha_parallel.rs:129),
+    which is a multi-x win when games end well before the round limit.
+    """
+    done0 = jax.vmap(env.done)(states)
+    obs, probs, player, valid, final_states, done, _ = _self_play_rounds(
+        env, eval_fn, params, states, done0, rng,
+        iterations, c, dirichlet_alpha, dirichlet_epsilon, temperature,
+        round_limit, negamax,
     )
     # round-limit games have no winner -> outcome 0 (draw, :172-180);
     # finished games relabel every fragment vs its player (:215-223)
@@ -192,6 +243,94 @@ def self_play(
         temperature=temperature, round_limit=round_limit,
         negamax=negamax,
     )
+
+
+def self_play_hosted(
+    env,
+    eval_fn,
+    params,
+    rng,
+    batch_size: int,
+    iterations: int = 100,
+    c: float = 2.0,
+    dirichlet_alpha: float = 0.3,
+    dirichlet_epsilon: float = 0.25,
+    temperature: float = 1.25,
+    round_limit: int = 400,
+    negamax: bool = False,
+    chunk_rounds: int = 32,
+    progress=None,
+):
+    """Chunked self-play driver: the lockstep loop runs ``chunk_rounds``
+    rounds per device program, the host fetches each chunk, filters the
+    valid fragments immediately (uint16 probs, per-fragment game index +
+    player) and continues from the returned states.
+
+    BIT-IDENTICAL to :func:`self_play` + :func:`trajectory_to_memory` for
+    any ``chunk_rounds`` (the loop rng is threaded through the chunks, and
+    outcome relabeling against the final winner matches reference
+    alpha_parallel.rs:172-223 — tested in tests/test_train.py), but no
+    single XLA execution exceeds ``chunk_rounds`` rounds and device/host
+    memory is bounded by the chunk, not the round limit — at the reference
+    workload (1024 games x 400 rounds) the one-program form holds a 830 MB
+    uint16 probs buffer and runs ~8 minutes as one program, which the axon
+    single-chip worker does not survive.
+
+    Returns (obs [F,H,W,C] f32, ps [F,A] f32 temperature powers,
+    outcome [F] f32, winner [B] i32, num_moves int).
+    """
+    import numpy as np
+
+    rng, r_seed = jax.random.split(rng)
+    seeds = jax.random.randint(
+        r_seed, (batch_size,), 0, jnp.iinfo(jnp.int32).max
+    ).astype(jnp.uint32)
+    states = jax.vmap(env.init)(seeds)
+    done = jax.vmap(env.done)(states)
+
+    frags_obs, frags_q, frags_player, frags_gidx = [], [], [], []
+    t = 0
+    while t < round_limit and not bool(jnp.all(done)):
+        rounds = min(chunk_rounds, round_limit - t)
+        obs, qprobs, player, valid, states, done, rng = self_play_chunk(
+            env, eval_fn, params, states, done, rng,
+            iterations=iterations, c=c,
+            dirichlet_alpha=dirichlet_alpha,
+            dirichlet_epsilon=dirichlet_epsilon,
+            temperature=temperature, rounds=rounds, negamax=negamax,
+        )
+        valid_h = np.asarray(valid).reshape(-1)
+        r, b = np.asarray(player).shape
+        frags_obs.append(
+            np.asarray(obs).reshape(r * b, *obs.shape[2:])[valid_h]
+        )
+        frags_q.append(np.asarray(qprobs).reshape(r * b, -1)[valid_h])
+        frags_player.append(np.asarray(player).reshape(-1)[valid_h])
+        frags_gidx.append(np.tile(np.arange(b), r)[valid_h])
+        t += rounds
+        if progress is not None:
+            progress(t, int(np.sum(~np.asarray(done))))
+
+    winner = np.asarray(
+        jnp.where(done, jax.vmap(env.winner)(states), 0)
+    )
+    obs = np.concatenate(frags_obs) if frags_obs else np.zeros(
+        (0, *env.spec.obs_shape), np.float32
+    )
+    q = np.concatenate(frags_q) if frags_q else np.zeros(
+        (0, env.spec.num_actions), np.uint16
+    )
+    player = np.concatenate(frags_player) if frags_player else np.zeros(
+        (0,), np.int32
+    )
+    gidx = np.concatenate(frags_gidx) if frags_gidx else np.zeros(
+        (0,), np.int64
+    )
+    ps = np.power(
+        q.astype(np.float32) / np.float32(PROB_QUANT), 1.0 / temperature
+    )
+    outcome = (winner[gidx] * player).astype(np.float32)
+    return obs, ps, outcome, winner, int(len(obs))
 
 
 def trajectory_to_memory(traj: Trajectory, temperature: float = 1.25):

@@ -205,6 +205,25 @@ class TestSelfPlay:
         assert ps.shape == (n, 9)
         assert outcome.shape == (n,)
 
+    @pytest.mark.parametrize("chunk_rounds", [2, 3, 9])
+    def test_hosted_chunked_is_bit_identical(self, chunk_rounds):
+        """The chunked host driver threads the loop rng through the chunks,
+        so ANY chunking reproduces the one-program trajectory exactly."""
+        from die_e_tpu.train.self_play import self_play_hosted
+
+        traj = self._run(seed=5)
+        f_obs, f_ps, f_outcome = trajectory_to_memory(traj, 1.25)
+        obs, ps, outcome, winner, moves = self_play_hosted(
+            ttt.ENV, net_eval_fn(NET), init_params(NET, jax.random.PRNGKey(0)),
+            jax.random.PRNGKey(5), batch_size=8, iterations=16, c=2.0,
+            temperature=1.25, round_limit=9, chunk_rounds=chunk_rounds,
+        )
+        np.testing.assert_array_equal(winner, np.asarray(traj.winner))
+        np.testing.assert_array_equal(obs, f_obs)
+        np.testing.assert_allclose(ps, f_ps, rtol=1e-6)
+        np.testing.assert_array_equal(outcome, f_outcome)
+        assert moves == len(f_obs)
+
 
 class TestCheckpoint:
     def test_variables_roundtrip(self, tmp_path):
