@@ -262,7 +262,10 @@ def _match_rounds(env, eval_fn, kind1, kind2, vars1, vars2, states, done,
     return jax.lax.while_loop(cond, body, (states, done, rng, jnp.int32(0)))
 
 
-ARENA_CHUNK_ROUNDS = 25
+# measured on the axon single-chip tunnel: ~16 s single programs survive,
+# ~45 s programs crash the worker; 10 arena rounds x 100 sims at B=400
+# (dual-model eval) stays around 10 s
+ARENA_CHUNK_ROUNDS = int(__import__("os").environ.get("DIE_E_ARENA_CHUNK", "10"))
 
 
 def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,

@@ -258,7 +258,7 @@ def self_play_hosted(
     temperature: float = 1.25,
     round_limit: int = 400,
     negamax: bool = False,
-    chunk_rounds: int = 32,
+    chunk_rounds: int = None,
     progress=None,
 ):
     """Chunked self-play driver: the lockstep loop runs ``chunk_rounds``
@@ -279,7 +279,15 @@ def self_play_hosted(
     Returns (obs [F,H,W,C] f32, ps [F,A] f32 temperature powers,
     outcome [F] f32, winner [B] i32, num_moves int).
     """
+    import os
+
     import numpy as np
+
+    if chunk_rounds is None:
+        # measured on the axon single-chip tunnel: ~16 s single programs
+        # survive, ~45 s programs crash the worker — 6 rounds x 100 sims at
+        # B=1024 is ~10 s.  Real (untunneled) chips can raise this.
+        chunk_rounds = int(os.environ.get("DIE_E_SP_CHUNK", "6"))
 
     rng, r_seed = jax.random.split(rng)
     seeds = jax.random.randint(
