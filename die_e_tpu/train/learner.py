@@ -129,6 +129,54 @@ def train_step(net, tx, state: TrainState, obs, ps, outcome, weight):
     return new_state, metrics
 
 
+@partial(jax.jit, static_argnames=("net", "tx", "num_actions"),
+         donate_argnums=(2,))
+def train_step_compact(net, tx, state: TrainState, obs_i8, ps_idx, ps_val,
+                       outcome, weight, num_actions):
+    """train_step with host->device-transfer-compact inputs: int8
+    observations (the tensorizer emits small exact integers,
+    backgammon_logic.rs:198-252) and sparse probability rows
+    (ps_idx [B, K] u16 column indices, ps_val [B, K] f32 values; padding
+    slots point at column 0 with value 0).  Densified on device, then the
+    IDENTICAL loss/optimizer math as train_step — the visit distribution
+    from S sims has at most S+1 nonzeros of the 1352 columns, so dense f32
+    rows waste ~7x the upload bandwidth (the bottleneck on a tunneled
+    chip)."""
+    obs = obs_i8.astype(jnp.float32)
+    b, k = ps_idx.shape
+    ps = jnp.zeros((b, num_actions), jnp.float32)
+    ps = ps.at[jnp.arange(b)[:, None], ps_idx.astype(jnp.int32)].add(ps_val)
+    return train_step(net, tx, state, obs, ps, outcome, weight)
+
+
+def compact_memory(ps, obs):
+    """Host-side sparsification for the compact train step: returns
+    (obs int8, ps_idx uint16 [N, K], ps_val f32 [N, K]) with K the max
+    row-support rounded up to a multiple of 64 (few distinct jit shapes)."""
+    import numpy as np
+
+    if obs.size and not (
+        np.abs(obs).max() < 127
+        and np.array_equal(obs, np.rint(obs))
+    ):  # tensorizer must emit exact small integers for the int8 transfer
+        return None
+    rows, cols = np.nonzero(ps)
+    counts = np.bincount(rows, minlength=ps.shape[0])
+    kmax = int(counts.max()) if counts.size else 1
+    k = max(64, ((kmax + 63) // 64) * 64)
+    if k >= ps.shape[1] // 2:  # dense row support: compaction pointless
+        return None
+    offsets = np.zeros(len(rows), np.int64)
+    if len(rows):
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        offsets = np.arange(len(rows)) - starts[rows]
+    ps_idx = np.zeros((ps.shape[0], k), np.uint16)
+    ps_val = np.zeros((ps.shape[0], k), np.float32)
+    ps_idx[rows, offsets] = cols.astype(np.uint16)
+    ps_val[rows, offsets] = ps[rows, cols]
+    return obs.astype(np.int8), ps_idx, ps_val
+
+
 def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
                 batch_size: int, metrics_out: list | None = None,
                 batch_sharding=None):
@@ -137,6 +185,10 @@ def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
     (reference shuffles and steps through min-capped slices,
     alphazero.rs:203-206).
 
+    Batches are uploaded in the compact form (int8 obs + sparse prob rows,
+    see train_step_compact) whenever the rows are sparse enough — the math
+    is bit-identical to the dense step; only the transfer shrinks.
+
     ``batch_sharding`` (a NamedSharding over the data axis) places each
     batch across the mesh so the SGD step is data-parallel with an XLA
     gradient all-reduce; without it every device would redundantly compute
@@ -144,6 +196,8 @@ def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
     import numpy as np
 
     n = obs.shape[0]
+    num_actions = ps.shape[1]
+    compact = compact_memory(ps, obs)
     perm = np.asarray(jax.random.permutation(rng, n))
     nan_seen = False
     for start in range(0, n, batch_size):
@@ -158,12 +212,20 @@ def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
             filler = perm[np.arange(pad) % n]
             idx = np.concatenate([idx, filler])
             w = np.concatenate([w, np.zeros(pad, np.float32)])
-        batch = (obs[idx], ps[idx], outcome[idx], w)
+        if compact is not None:
+            obs_i8, ps_idx, ps_val = compact
+            batch = (obs_i8[idx], ps_idx[idx], ps_val[idx], outcome[idx], w)
+        else:
+            batch = (obs[idx], ps[idx], outcome[idx], w)
         if batch_sharding is not None:
             batch = tuple(jax.device_put(x, batch_sharding) for x in batch)
         else:
             batch = tuple(jnp.asarray(x) for x in batch)
-        state, m = train_step(net, tx, state, *batch)
+        if compact is not None:
+            state, m = train_step_compact(net, tx, state, *batch,
+                                          num_actions=num_actions)
+        else:
+            state, m = train_step(net, tx, state, *batch)
         if metrics_out is not None:
             metrics_out.append({k: float(v) for k, v in m.items()})
         nan_seen = nan_seen or bool(m["nan"])

@@ -80,6 +80,46 @@ class TestTrainStep:
 
 
 class TestOptimizerParity:
+    def test_compact_step_is_bit_identical_to_dense(self):
+        """train_step_compact (int8 obs + sparse prob rows, the reduced
+        host->device transfer form) must produce the identical update."""
+        from die_e_tpu.train.learner import (
+            compact_memory,
+            train_step,
+            train_step_compact,
+        )
+
+        rng = np.random.RandomState(0)
+        b, a = 16, 1352
+        spec = dataclasses.replace(
+            ttt.SPEC, num_actions=a, obs_shape=(4, 6, 6), conv_output_size=24
+        )
+        net = make_net(spec)
+        tx = make_optimizer()
+        obs = rng.randint(-5, 6, size=(b, 4, 6, 6)).astype(np.float32)
+        ps = np.zeros((b, a), np.float32)
+        for i in range(b):  # sparse rows like real visit distributions
+            cols = rng.choice(a, size=30, replace=False)
+            ps[i, cols] = rng.rand(30).astype(np.float32)
+        outcome = rng.choice([-1.0, 0.0, 1.0], size=b).astype(np.float32)
+        w = np.ones(b, np.float32)
+
+        s1 = create_train_state(net, jax.random.PRNGKey(1))
+        s2 = create_train_state(net, jax.random.PRNGKey(1))
+        s1, m1 = train_step(net, tx, s1, jnp.asarray(obs), jnp.asarray(ps),
+                            jnp.asarray(outcome), jnp.asarray(w))
+        obs_i8, ps_idx, ps_val = compact_memory(ps, obs)
+        assert ps_idx.shape == (b, 64)
+        s2, m2 = train_step_compact(
+            net, tx, s2, jnp.asarray(obs_i8), jnp.asarray(ps_idx),
+            jnp.asarray(ps_val), jnp.asarray(outcome), jnp.asarray(w),
+            num_actions=a,
+        )
+        assert float(m1["loss"]) == float(m2["loss"])
+        for l1, l2 in zip(jax.tree_util.tree_leaves(s1.params),
+                          jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
     def test_matches_torch_adam_with_weight_decay(self):
         """tch's Adam::default().wd(wd) (reference alphazero.rs:102) is
         torch Adam's *coupled* weight decay.  The optax chain must produce
