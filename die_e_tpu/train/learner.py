@@ -199,7 +199,11 @@ def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
     num_actions = ps.shape[1]
     compact = compact_memory(ps, obs)
     perm = np.asarray(jax.random.permutation(rng, n))
-    nan_seen = False
+    # metric accumulators stay DEVICE scalars until the epoch ends: a
+    # float() per batch is a blocking host round-trip (~25-50 ms on the
+    # tunnel) that serializes the dispatch queue
+    acc = None
+    n_batches = 0
     for start in range(0, n, batch_size):
         idx = perm[start : start + batch_size]
         w = np.ones(len(idx), np.float32)
@@ -226,12 +230,25 @@ def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
                                           num_actions=num_actions)
         else:
             state, m = train_step(net, tx, state, *batch)
+        if acc is None:
+            acc = dict(m)
+            acc["nan"] = m["nan"].astype(jnp.int32)
+        else:
+            acc = {
+                k: acc[k] + (m[k].astype(jnp.int32) if k == "nan" else m[k])
+                for k in acc
+            }
+        n_batches += 1
+    if acc is not None:
+        acc = {k: float(v) for k, v in acc.items()}  # one sync per epoch
         if metrics_out is not None:
-            metrics_out.append({k: float(v) for k, v in m.items()})
-        nan_seen = nan_seen or bool(m["nan"])
-    if nan_seen:
-        raise FloatingPointError(
-            "NaN/Inf in loss or weights during training "
-            "(reference asserts, alphazero.rs:251-255 / alpha_parallel.rs:83)"
-        )
+            metrics_out.append(
+                {k: (v / n_batches if k != "nan" else v) for k, v in acc.items()}
+            )
+        if acc["nan"] > 0:
+            raise FloatingPointError(
+                "NaN/Inf in loss or weights during training "
+                "(reference asserts, alphazero.rs:251-255 / "
+                "alpha_parallel.rs:83)"
+            )
     return state
