@@ -34,6 +34,8 @@ from die_e_tpu.train.learner import (
     make_optimizer,
     net_eval_fn,
     train_epoch,
+    train_epoch_device,
+    upload_epoch_data,
 )
 from die_e_tpu.train.replay import Memory, save_training_data
 from die_e_tpu.train.self_play import (
@@ -183,15 +185,30 @@ def learn(
                 draws=int(np.sum(winner == 0)),
             )
 
+        # single-device: move the iteration's memory to the chip ONCE and
+        # run the epochs as fused on-device scans (no per-batch dispatch /
+        # upload — see learner.train_epoch_device); the mesh path keeps the
+        # per-batch host loop that shards each batch over the data axis
+        epoch_data = (
+            upload_epoch_data(memory.states, memory.ps, memory.outcomes,
+                              az.training_batch_size)
+            if mesh is None else None
+        )
         for epoch in range(az.num_epochs):
             rng, r_ep = jax.random.split(rng)
             ms: list = []
             with Timer() as t:
-                state = train_epoch(
-                    net, tx, state, r_ep, memory.states, memory.ps,
-                    memory.outcomes, az.training_batch_size, ms,
-                    batch_sharding=data_sh if mesh is not None else None,
-                )
+                if epoch_data is not None:
+                    state = train_epoch_device(
+                        net, tx, state, r_ep, epoch_data,
+                        az.training_batch_size, ms,
+                    )
+                else:
+                    state = train_epoch(
+                        net, tx, state, r_ep, memory.states, memory.ps,
+                        memory.outcomes, az.training_batch_size, ms,
+                        batch_sharding=data_sh if mesh is not None else None,
+                    )
             metrics.log(
                 "train_epoch",
                 learn_iter=l_i,

@@ -19,7 +19,7 @@ src/alphazero/alphazero.rs:202-261) as a jitted optax train step:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -98,11 +98,9 @@ def loss_fn(net, params, batch_stats, obs, ps, outcome, weight):
     return loss, (mutated["batch_stats"], policy_loss, value_loss)
 
 
-@partial(jax.jit, static_argnames=("net", "tx"), donate_argnums=(2,))
-def train_step(net, tx, state: TrainState, obs, ps, outcome, weight):
-    """One Adam step on one batch (alphazero.rs:205-259).  Returns
-    (new_state, metrics) where metrics includes a NaN flag replacing the
-    reference's asserts (alphazero.rs:251-255)."""
+def _step_math(net, tx, state: TrainState, obs, ps, outcome, weight):
+    """The traceable body of :func:`train_step` (shared with the fused
+    epoch scan, :func:`train_epoch_device`)."""
     grad_fn = jax.value_and_grad(
         lambda p: loss_fn(net, p, state.batch_stats, obs, ps, outcome, weight),
         has_aux=True,
@@ -127,6 +125,14 @@ def train_step(net, tx, state: TrainState, obs, ps, outcome, weight):
     metrics = {"loss": loss, "policy_loss": pl, "value_loss": vl,
                "nan": nan_flag}
     return new_state, metrics
+
+
+@partial(jax.jit, static_argnames=("net", "tx"), donate_argnums=(2,))
+def train_step(net, tx, state: TrainState, obs, ps, outcome, weight):
+    """One Adam step on one batch (alphazero.rs:205-259).  Returns
+    (new_state, metrics) where metrics includes a NaN flag replacing the
+    reference's asserts (alphazero.rs:251-255)."""
+    return _step_math(net, tx, state, obs, ps, outcome, weight)
 
 
 @partial(jax.jit, static_argnames=("net", "tx", "num_actions"),
@@ -251,4 +257,177 @@ def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
                 "(reference asserts, alphazero.rs:251-255 / "
                 "alpha_parallel.rs:83)"
             )
+    return state
+
+
+# --------------------------------------------------------------------------
+# Device-resident epochs: upload the learn-iteration's memory ONCE, then run
+# every epoch as a few chained scan programs entirely on device.  The
+# per-batch host loop above costs one dispatch round-trip (~120 ms on a
+# tunneled chip) plus one compact-batch upload per 256 samples; at the
+# reference workload (~190k fragments/iter, alpha_parallel.rs:17-99) that is
+# ~760 round-trips and ~180 MB of upload PER EPOCH.  Here the tables cross
+# the wire once per learn iteration and each epoch is upload-free: a device
+# permutation, row gathers, and the identical _step_math per batch.
+# --------------------------------------------------------------------------
+
+# table rows are padded to a BUCKET multiple so every learn iteration
+# (whose fragment count varies) reuses the same compiled programs
+EPOCH_BUCKET = 16384
+
+
+@struct.dataclass
+class EpochData:
+    """Device-resident compact memory for one learn iteration's epochs.
+
+    Rows beyond ``n`` are wrapped copies of real rows (so BatchNorm batch
+    statistics stay on the data distribution when one lands in a batch) and
+    train at weight 0."""
+
+    obs: jnp.ndarray      # [Np, H, W, C] int8 (or f32 fallback)
+    ps_idx: jnp.ndarray   # [Np, K] uint16 sparse column indices
+    ps_val: jnp.ndarray   # [Np, K] f32 values (0 in padding slots)
+    outcome: jnp.ndarray  # [Np] f32
+    n: jnp.ndarray        # scalar i32: real rows
+    num_actions: Any = struct.field(pytree_node=False, default=0)
+
+    @property
+    def padded_rows(self):
+        return self.obs.shape[0]
+
+
+def upload_epoch_data(obs, ps, outcome, batch_size: int,
+                      bucket: int = EPOCH_BUCKET) -> Optional["EpochData"]:
+    """Sparsify + bucket-pad the memory on host and place it on device.
+    Returns None for an empty memory (caller falls back to the host loop).
+    """
+    import numpy as np
+
+    n = obs.shape[0]
+    if n == 0:
+        return None
+    num_actions = ps.shape[1]
+    rows, cols = np.nonzero(ps)
+    counts = np.bincount(rows, minlength=n)
+    kmax = int(counts.max()) if counts.size else 1
+    # round K up to a lane multiple for few distinct jit shapes; tiny
+    # action spaces (tictactoe) just use the full row
+    k = min(num_actions, max(64, ((kmax + 63) // 64) * 64))
+    offsets = np.zeros(len(rows), np.int64)
+    if len(rows):
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        offsets = np.arange(len(rows)) - starts[rows]
+    ps_idx = np.zeros((n, k), np.uint16)
+    ps_val = np.zeros((n, k), np.float32)
+    ps_idx[rows, offsets] = cols.astype(np.uint16)
+    ps_val[rows, offsets] = ps[rows, cols]
+
+    obs_small = obs.size and np.abs(obs).max() < 127 and np.array_equal(
+        obs, np.rint(obs)
+    )
+    obs_t = obs.astype(np.int8) if obs_small else obs.astype(np.float32)
+
+    n_pad = ((n + bucket - 1) // bucket) * bucket
+    if n_pad % batch_size:
+        n_pad = ((n_pad + batch_size - 1) // batch_size) * batch_size
+    wrap = np.arange(n, n_pad) % n
+
+    def pad(x):
+        return np.concatenate([x, x[wrap]]) if n_pad > n else x
+
+    return EpochData(
+        obs=jnp.asarray(pad(obs_t)),
+        ps_idx=jnp.asarray(pad(ps_idx)),
+        ps_val=jnp.asarray(pad(ps_val)),
+        outcome=jnp.asarray(pad(outcome.astype(np.float32))),
+        n=jnp.int32(n),
+        num_actions=num_actions,
+    )
+
+
+@partial(jax.jit, static_argnames=("n_rows",))
+def _epoch_perm(rng, n_rows: int):
+    return jax.random.permutation(rng, n_rows)
+
+
+@partial(jax.jit,
+         static_argnames=("net", "tx", "n_batches", "batch_size",
+                          "num_actions"),
+         donate_argnums=(2, 3))
+def _epoch_scan(net, tx, state: TrainState, sums, data: EpochData, perm,
+                base, n_batches: int, batch_size: int, num_actions: int):
+    """``n_batches`` sequential train steps as ONE device program.
+
+    Chunked by the caller so no single XLA execution runs long (the axon
+    tunnel kills ~45 s programs, CLAUDE.md); chunks chain on the donated
+    state handle so the host never blocks between them."""
+
+    def body(carry, j):
+        state, sums = carry
+        start = (base + j) * batch_size
+        rows = jax.lax.dynamic_slice(perm, (start,), (batch_size,))
+        w = (rows < data.n).astype(jnp.float32)
+        obs = jnp.take(data.obs, rows, axis=0).astype(jnp.float32)
+        idx = jnp.take(data.ps_idx, rows, axis=0).astype(jnp.int32)
+        val = jnp.take(data.ps_val, rows, axis=0)
+        outc = jnp.take(data.outcome, rows, axis=0)
+        ps = jnp.zeros((batch_size, num_actions), jnp.float32)
+        ps = ps.at[jnp.arange(batch_size)[:, None], idx].add(val)
+        state, m = _step_math(net, tx, state, obs, ps, outc, w)
+        sums = {
+            "loss": sums["loss"] + m["loss"],
+            "policy_loss": sums["policy_loss"] + m["policy_loss"],
+            "value_loss": sums["value_loss"] + m["value_loss"],
+            "nan": sums["nan"] + m["nan"].astype(jnp.int32),
+        }
+        return (state, sums), None
+
+    (state, sums), _ = jax.lax.scan(
+        body, (state, sums), jnp.arange(n_batches)
+    )
+    return state, sums
+
+
+def train_epoch_device(net, tx, state: TrainState, rng, data: EpochData,
+                       batch_size: int, metrics_out: list | None = None,
+                       chunk_batches: int | None = None, perm=None):
+    """One shuffled epoch over device-resident ``data`` — the same
+    shuffled-batches semantics as :func:`train_epoch` (alphazero.rs:203-206)
+    with padding rows at weight 0 (scattered through the epoch by the
+    permutation instead of collected in the last batch; each real row still
+    trains exactly once, each batch loss still means over its real rows).
+
+    ``perm`` is injectable for tests; by default a fresh device permutation
+    of the padded rows is drawn from ``rng``."""
+    import os
+
+    if chunk_batches is None:
+        chunk_batches = int(os.environ.get("DIE_E_TRAIN_CHUNK", "128"))
+    n_pad = data.padded_rows
+    total_batches = n_pad // batch_size
+    if perm is None:
+        perm = _epoch_perm(rng, n_pad)
+    sums = {
+        "loss": jnp.float32(0.0), "policy_loss": jnp.float32(0.0),
+        "value_loss": jnp.float32(0.0), "nan": jnp.int32(0),
+    }
+    for base in range(0, total_batches, chunk_batches):
+        nb = min(chunk_batches, total_batches - base)
+        state, sums = _epoch_scan(
+            net, tx, state, sums, data, perm, jnp.int32(base),
+            n_batches=nb, batch_size=batch_size,
+            num_actions=data.num_actions,
+        )
+    acc = {k: float(v) for k, v in sums.items()}  # one sync per epoch
+    if metrics_out is not None:
+        metrics_out.append({
+            k: (v / total_batches if k != "nan" else v)
+            for k, v in acc.items()
+        })
+    if acc["nan"] > 0:
+        raise FloatingPointError(
+            "NaN/Inf in loss or weights during training "
+            "(reference asserts, alphazero.rs:251-255 / "
+            "alpha_parallel.rs:83)"
+        )
     return state

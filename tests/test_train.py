@@ -373,3 +373,171 @@ class TestGating:
         now = flat(ckpt.restore_variables(best_path, candidate))
         changed = not np.array_equal(now, marker)
         assert changed == expect_promoted
+
+
+
+class TestDeviceEpoch:
+    """train_epoch_device: the fused on-device epoch must reproduce the
+    per-batch host loop's math (same batches -> same params).
+
+    Comparisons run under plain SGD: the update is proportional to the
+    gradient, so the ~1e-10 cross-compilation cancellation noise stays
+    ~1e-10 in the params.  Under Adam the comparison is ill-posed — its
+    normalization amplifies that noise to a full +/-lr step on any
+    analytically-zero-gradient element (conv biases feeding BatchNorm,
+    dead kernel weights), in the host loop as much as the scan.  The
+    shared step math itself (_step_math) is what both paths run; Adam
+    semantics are covered by TestOptimizerParity."""
+
+    LR = 0.01
+
+    def _sgd_state(self, tx):
+        import optax  # local: only this test builds a non-Adam state
+
+        variables = init_params(NET, jax.random.PRNGKey(0))
+        from die_e_tpu.train.learner import TrainState
+        return TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.int32(0),
+        )
+
+    def _memory(self, rng, n):
+        obs, ps, outcome, _ = _fake_batch(rng, n)
+        return np.asarray(obs), np.asarray(ps), np.asarray(outcome)
+
+    @staticmethod
+    def _assert_params_match(ref_params, got_params):
+        flat_ref = jax.tree_util.tree_leaves_with_path(ref_params)
+        flat_got = jax.tree_util.tree_leaves(got_params)
+        for (path, a), b in zip(flat_ref, flat_got):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+    def test_matches_host_epoch_same_permutation(self):
+        import optax
+
+        from die_e_tpu.train.learner import (
+            train_epoch_device, upload_epoch_data,
+        )
+
+        tx = optax.sgd(self.LR)
+        n, bs = 32, 8
+        obs, ps, outcome = self._memory(jax.random.PRNGKey(3), n)
+        r_ep = jax.random.PRNGKey(5)
+
+        host_state = self._sgd_state(tx)
+        host_ms: list = []
+        host_state = train_epoch(NET, tx, host_state, r_ep, obs, ps,
+                                 outcome, bs, host_ms)
+
+        dev_state = self._sgd_state(tx)
+        data = upload_epoch_data(obs, ps, outcome, bs, bucket=n)
+        assert data.padded_rows == n  # no padding: identical batches
+        perm = jax.random.permutation(r_ep, n)  # the host loop's perm
+        dev_ms: list = []
+        dev_state = train_epoch_device(NET, tx, dev_state, r_ep, data, bs,
+                                       dev_ms, perm=perm)
+
+        self._assert_params_match(host_state.params, dev_state.params)
+        np.testing.assert_allclose(host_ms[0]["loss"], dev_ms[0]["loss"],
+                                   rtol=1e-5)
+
+    def test_padding_rows_train_at_zero_weight(self):
+        import optax
+
+        from die_e_tpu.train.learner import (
+            train_epoch_device, train_step, upload_epoch_data,
+        )
+
+        tx = optax.sgd(self.LR)
+        n, bs = 24, 8
+        obs, ps, outcome = self._memory(jax.random.PRNGKey(4), n)
+        data = upload_epoch_data(obs, ps, outcome, bs, bucket=32)
+        assert data.padded_rows == 32
+
+        # identity permutation: batches 0-2 are the real rows in order, the
+        # 4th is all wrapped padding at weight 0
+        perm = jnp.arange(32)
+        dev_state = self._sgd_state(tx)
+        dev_state = train_epoch_device(NET, tx, dev_state,
+                                       jax.random.PRNGKey(0), data, bs,
+                                       perm=perm)
+
+        # manual replay: three real batches then the wrapped batch at w=0
+        man_state = self._sgd_state(tx)
+        for start in range(0, n, bs):
+            sl = slice(start, start + bs)
+            man_state, _ = train_step(
+                NET, tx, man_state, jnp.asarray(obs[sl]),
+                jnp.asarray(ps[sl]), jnp.asarray(outcome[sl]), jnp.ones(bs))
+        wrap = np.arange(24, 32) % n
+        man_state, _ = train_step(
+            NET, tx, man_state, jnp.asarray(obs[wrap]), jnp.asarray(ps[wrap]),
+            jnp.asarray(outcome[wrap]), jnp.zeros(bs))
+        self._assert_params_match(man_state.params, dev_state.params)
+
+    def test_int8_observation_path(self):
+        import optax
+
+        from die_e_tpu.train.learner import (
+            train_epoch_device, train_step, upload_epoch_data,
+        )
+
+        tx = optax.sgd(self.LR)
+        n, bs = 16, 8
+        rng = jax.random.PRNGKey(6)
+        obs = np.asarray(
+            jax.random.randint(rng, (n, 3, 3, 3), -2, 3), np.float32)
+        _, ps, outcome, _ = _fake_batch(rng, n)
+        ps, outcome = np.asarray(ps), np.asarray(outcome)
+        data = upload_epoch_data(obs, ps, outcome, bs, bucket=n)
+        assert data.obs.dtype == jnp.int8
+
+        perm = jnp.arange(n)
+        dev_state = self._sgd_state(tx)
+        dev_state = train_epoch_device(NET, tx, dev_state,
+                                       jax.random.PRNGKey(0), data, bs,
+                                       perm=perm)
+        man_state = self._sgd_state(tx)
+        for start in range(0, n, bs):
+            sl = slice(start, start + bs)
+            man_state, _ = train_step(
+                NET, tx, man_state, jnp.asarray(obs[sl]),
+                jnp.asarray(ps[sl]), jnp.asarray(outcome[sl]), jnp.ones(bs))
+        self._assert_params_match(man_state.params, dev_state.params)
+
+    def test_adam_epoch_runs_and_loss_decreases(self):
+        """Smoke: the production optimizer through the device path."""
+        from die_e_tpu.train.learner import (
+            train_epoch_device, upload_epoch_data,
+        )
+
+        n, bs = 32, 8
+        obs, ps, outcome = self._memory(jax.random.PRNGKey(8), n)
+        data = upload_epoch_data(obs, ps, outcome, bs, bucket=n)
+        state = create_train_state(NET, jax.random.PRNGKey(0))
+        ms: list = []
+        rng = jax.random.PRNGKey(1)
+        for _ in range(6):
+            rng, r = jax.random.split(rng)
+            state = train_epoch_device(NET, TX, state, r, data, bs, ms)
+        assert ms[-1]["loss"] < ms[0]["loss"]
+        assert all(m["nan"] == 0 for m in ms)
+
+    def test_nan_raises(self):
+        from die_e_tpu.train.learner import (
+            train_epoch_device, upload_epoch_data,
+        )
+
+        obs = np.full((8, 3, 3, 3), np.nan, np.float32)
+        ps = np.ones((8, 9), np.float32) / 9
+        outcome = np.zeros((8,), np.float32)
+        data = upload_epoch_data(obs, ps, outcome, 8, bucket=8)
+        state = create_train_state(NET, jax.random.PRNGKey(0))
+        with pytest.raises(FloatingPointError):
+            train_epoch_device(NET, TX, state, jax.random.PRNGKey(0),
+                               data, 8)
