@@ -1,4 +1,5 @@
 from die_e_tpu.arena.versus import Agent, PlayResult, Player, play
+from die_e_tpu.arena.elo import MatchResult, compute_elo, expected_score
 from die_e_tpu.arena.records import (
     GameRecord,
     load_all_games,
@@ -9,6 +10,9 @@ from die_e_tpu.arena.records import (
 
 __all__ = [
     "Agent",
+    "MatchResult",
+    "compute_elo",
+    "expected_score",
     "PlayResult",
     "Player",
     "play",

@@ -1,0 +1,122 @@
+"""Elo ratings from arena match results (Bradley-Terry MLE).
+
+The reference publishes no Elo numbers (reference README.md:1-113), so the
+BASELINE "Elo vs reference" row is established on an absolute anchored
+ladder instead: checkpoints and fixed opponents (random, pure MCTS at
+several rollout budgets) play round-robin arena matches
+(:func:`die_e_tpu.arena.versus.play`), and this module fits Elo ratings to
+the aggregate results under the standard logistic model
+
+    P(a beats b) = 1 / (1 + 10 ** ((R_b - R_a) / 400))
+
+with draws counted as half a win for each side.  The fit is a maximum-
+likelihood gradient ascent with one player pinned to an anchor rating
+(conventionally ``random`` at 0), which removes the translation degree of
+freedom.  Pure numpy — no device work; the expensive part (playing the
+matches) happens in the arena.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Iterable, Mapping
+
+import numpy as np
+
+ELO_SCALE = math.log(10.0) / 400.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchResult:
+    """Aggregate head-to-head record between two named players."""
+
+    player_a: str
+    player_b: str
+    wins_a: int
+    wins_b: int
+    draws: int = 0
+
+    @property
+    def games(self) -> int:
+        return self.wins_a + self.wins_b + self.draws
+
+    @property
+    def score_a(self) -> float:
+        return self.wins_a + 0.5 * self.draws
+
+
+def compute_elo(
+    matches: Iterable[MatchResult],
+    anchor: str | None = None,
+    anchor_rating: float = 0.0,
+    iters: int = 4000,
+    lr: float = 8000.0,
+) -> dict[str, float]:
+    """Fit Elo ratings to ``matches`` by logistic MLE.
+
+    ``anchor`` (default: the first player seen) is pinned to
+    ``anchor_rating``; every other rating is relative to it.  ``lr`` is the
+    gradient-ascent step in Elo points per unit of per-game score gradient.
+    """
+    matches = list(matches)
+    if not matches:
+        return {}
+    names: list[str] = []
+    for m in matches:
+        for n in (m.player_a, m.player_b):
+            if n not in names:
+                names.append(n)
+    if anchor is None:
+        anchor = names[0]
+    if anchor not in names:
+        raise ValueError(f"anchor {anchor!r} played no matches")
+    idx = {n: i for i, n in enumerate(names)}
+    k = len(names)
+
+    # aggregate: score[i, j] = total score player i took off player j,
+    # n[i, j] = games between them (symmetric).
+    score = np.zeros((k, k))
+    n_games = np.zeros((k, k))
+    for m in matches:
+        a, b = idx[m.player_a], idx[m.player_b]
+        if a == b:
+            raise ValueError(f"self-match for {m.player_a!r}")
+        score[a, b] += m.score_a
+        score[b, a] += m.games - m.score_a
+        n_games[a, b] += m.games
+        n_games[b, a] += m.games
+
+    r = np.zeros(k)
+    total_games = n_games.sum(axis=1)
+    total_games = np.where(total_games == 0, 1.0, total_games)
+    for _ in range(iters):
+        diff = r[:, None] - r[None, :]
+        p = 1.0 / (1.0 + np.exp(-ELO_SCALE * diff))
+        grad = ELO_SCALE * (score - n_games * p).sum(axis=1)
+        r = r + lr * grad / total_games
+        r = r - r[idx[anchor]] + anchor_rating
+    return {n: float(r[idx[n]]) for n in names}
+
+
+def expected_score(rating_a: float, rating_b: float) -> float:
+    """P(a beats b) under the fitted model (draws as half-wins)."""
+    return 1.0 / (1.0 + 10.0 ** ((rating_b - rating_a) / 400.0))
+
+
+def matches_from_records(
+    records: Iterable[Mapping],
+) -> list[MatchResult]:
+    """Build MatchResults from JSONL dicts with keys
+    player_a/player_b/wins_a/wins_b/draws (the tournament script's
+    output rows)."""
+    return [
+        MatchResult(
+            player_a=rec["player_a"],
+            player_b=rec["player_b"],
+            wins_a=int(rec["wins_a"]),
+            wins_b=int(rec["wins_b"]),
+            draws=int(rec.get("draws", 0)),
+        )
+        for rec in records
+    ]
