@@ -13,8 +13,9 @@ maintained by gating.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import numpy as np
@@ -48,6 +49,74 @@ def restore_variables(path, template) -> dict:
     path = Path(path).absolute()
     restored = _ckptr().restore(path, item=jax.device_get(template))
     return jax.tree_util.tree_map(jax.numpy.asarray, restored)
+
+
+class AsyncSaver:
+    """Background-thread checkpoint writer (SURVEY.md §5: "Orbax async
+    checkpointing" — the reference has no async story at all, its saves
+    block the learn loop, alpha_parallel.rs:85-95).
+
+    One worker thread, saves serialized in submission order.  The caller
+    MUST call :meth:`wait` before any operation that invalidates the
+    arrays being saved — in practice before the next ``train_epoch``,
+    whose ``train_step`` donates the TrainState buffers — and before
+    process exit / restoring a path with a pending save.  ``wait`` also
+    re-raises any exception from the background save.
+
+    ``on_committed`` callbacks run in the worker thread strictly AFTER the
+    checkpoint is durably written (orbax writes are atomic: tmp dir +
+    rename), which is what makes the learn loop's resume cursor
+    crash-consistent: the cursor only ever points at a committed state.
+    """
+
+    def __init__(self):
+        self._executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-saver")
+        self._pending = None
+
+    def submit(self, fn: Callable[[], None]) -> None:
+        """Queue ``fn`` on the saver thread (after any pending save)."""
+        self.wait()
+        self._pending = self._executor.submit(fn)
+
+    def save_state(self, state: TrainState, path,
+                   on_committed: Optional[Callable[[], None]] = None,
+                   extra_variables_path=None) -> None:
+        """Asynchronously save the full train state to ``path`` (and, if
+        given, its inference variables to ``extra_variables_path`` from
+        the same single device fetch), then run ``on_committed``."""
+        # Hint the device→host copies to start now so the worker's
+        # device_get mostly finds data already on host.
+        for leaf in jax.tree_util.tree_leaves(state):
+            copy_async = getattr(leaf, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
+
+        def task():
+            host_state = jax.device_get(state)
+            if extra_variables_path is not None:
+                _ckptr().save(Path(extra_variables_path).absolute(),
+                              host_state.variables, force=True)
+            _ckptr().save(Path(path).absolute(), host_state, force=True)
+            if on_committed is not None:
+                on_committed()
+
+        self.submit(task)
+
+    def wait(self) -> None:
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
+    def close(self) -> None:
+        self.wait()
+        self._executor.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def model_dir(game_name: str, base: str = "./models") -> Path:

@@ -161,6 +161,10 @@ def learn(
         # keep the resumed run's randomness distinct from a fresh replay of
         # the same seed
         rng = jax.random.fold_in(rng, start_iter)
+    # checkpoint writes overlap the gating arena + next self-play phase; on
+    # an abnormal exit the non-daemon worker thread still completes the
+    # pending write before the interpreter exits
+    saver = ckpt.AsyncSaver()
     for l_i in range(start_iter, az.learn_iterations):
         lrn_path = run_base / f"lrn-{l_i}"
         memory = Memory.empty(env.spec.obs_shape, env.spec.num_actions)
@@ -194,6 +198,8 @@ def learn(
                               az.training_batch_size)
             if mesh is None else None
         )
+        # the pending save (if any) reads buffers train_step will donate
+        saver.wait()
         for epoch in range(az.num_epochs):
             rng, r_ep = jax.random.split(rng)
             ms: list = []
@@ -221,11 +227,15 @@ def learn(
 
         # finite-weights check (alpha_parallel.rs:83) is inside train_epoch
         model_path_i = ckpt.model_dir(env.spec.name, models_base) / f"model_{l_i}"
-        ckpt.save_variables(state.variables, model_path_i)
-        ckpt.save_state(state, latest)  # full state incl. optimizer
-        meta_path.write_text(json.dumps(
-            {"run_id": run_id, "next_learn_iter": l_i + 1}
-        ))
+        # async: one device fetch feeds model_{i} (inference variables) and
+        # latest (full state incl. optimizer); the resume cursor is written
+        # only after the state is durably committed
+        meta_json = json.dumps({"run_id": run_id, "next_learn_iter": l_i + 1})
+        saver.save_state(
+            state, latest,
+            on_committed=lambda m=meta_json: meta_path.write_text(m),
+            extra_variables_path=model_path_i,
+        )
         metrics.log("model_saved", learn_iter=l_i, path=str(model_path_i))
 
         rng, r_gate = jax.random.split(rng)
@@ -233,6 +243,7 @@ def learn(
             env, eval_fn, state.variables, r_gate, mcts_cfg,
             config.arena, az.temperature, models_base, metrics,
         )
+    saver.close()
     return state
 
 
