@@ -37,7 +37,7 @@ import numpy as np
 
 from die_e_tpu.envs.base import freeze_where
 from die_e_tpu.search.alpha import alpha_search, sample_action
-from die_e_tpu.search.simple import simple_search
+from die_e_tpu.search.simple import simple_search, simple_search_hosted
 
 
 class Agent(str, enum.Enum):
@@ -102,12 +102,23 @@ def _model_actions(env, eval_fn, variables, states, rng, iterations, c,
     return jnp.where(no_probs, env.spec.noop_action, action)
 
 
-def _mcts_actions(env, states, rng, iterations, c, simulate_round_limit):
-    """versus.rs:303-306: mct_search per game vs the game's own player."""
-    action, _ = simple_search(
-        env, states, rng, iterations=iterations, c=c,
-        simulate_round_limit=simulate_round_limit,
-    )
+def _mcts_actions(env, states, rng, iterations, c, simulate_round_limit,
+                  rollout_limit=None, search_chunk=None):
+    """versus.rs:303-306: mct_search per game vs the game's own player.
+    ``search_chunk`` (host-loop callers only) splits the search across
+    bounded device programs; the result is bit-identical either way."""
+    if search_chunk is not None:
+        action, _ = simple_search_hosted(
+            env, states, rng, iterations=iterations, chunk=search_chunk,
+            c=c, simulate_round_limit=simulate_round_limit,
+            rollout_limit=rollout_limit,
+        )
+    else:
+        action, _ = simple_search(
+            env, states, rng, iterations=iterations, c=c,
+            simulate_round_limit=simulate_round_limit,
+            rollout_limit=rollout_limit,
+        )
     return action
 
 
@@ -134,10 +145,32 @@ def dual_eval_fn(base_eval_fn):
     return _DUAL_EVAL_CACHE[base_eval_fn]
 
 
+def _agent_actions(env, eval_fn, kind, variables, states, r, iterations, c,
+                   simulate_round_limit, dirichlet_alpha, dirichlet_epsilon,
+                   temperature, negamax, mcts_iterations,
+                   rollout_limit=None, search_chunk=None):
+    """One agent's action over the full batch (versus.rs:276-316)."""
+    if kind == Agent.RANDOM:
+        return _random_actions(env, states, r)
+    if kind == Agent.MODEL:
+        return _model_actions(
+            env, eval_fn, variables, states, r,
+            iterations, c, dirichlet_alpha, dirichlet_epsilon,
+            temperature, negamax=negamax,
+        )
+    if kind == Agent.MCTS:
+        return _mcts_actions(env, states, r, mcts_iterations, c,
+                             simulate_round_limit,
+                             rollout_limit=rollout_limit,
+                             search_chunk=search_chunk)
+    raise ValueError(f"cannot compute actions for agent {kind}")
+
+
 def _round_actions(env, eval_fn, kind1, kind2, vars1, vars2, states, rng,
                    iterations, c, simulate_round_limit, dirichlet_alpha,
                    dirichlet_epsilon, temperature, negamax,
-                   mcts_iterations=None):
+                   mcts_iterations=None, rollout_limit=None,
+                   search_chunk=None):
     """One round's action per game, chosen by the side-to-move's agent.
 
     Player 1 is always side -1 (versus.rs:186).  Only the side-to-move's
@@ -161,18 +194,12 @@ def _round_actions(env, eval_fn, kind1, kind2, vars1, vars2, states, rng,
         )
 
     def single(kind, variables, r):
-        if kind == Agent.RANDOM:
-            return _random_actions(env, states, r)
-        if kind == Agent.MODEL:
-            return _model_actions(
-                env, eval_fn, variables, states, r,
-                iterations, c, dirichlet_alpha, dirichlet_epsilon,
-                temperature, negamax=negamax,
-            )
-        if kind == Agent.MCTS:
-            return _mcts_actions(env, states, r, mcts_iterations, c,
-                                 simulate_round_limit)
-        raise ValueError(f"cannot compute actions for agent {kind}")
+        return _agent_actions(
+            env, eval_fn, kind, variables, states, r, iterations, c,
+            simulate_round_limit, dirichlet_alpha, dirichlet_epsilon,
+            temperature, negamax, mcts_iterations,
+            rollout_limit=rollout_limit, search_chunk=search_chunk,
+        )
 
     if kind1 == kind2:
         # same non-model agent on both sides: the draw only matters for the
@@ -189,9 +216,18 @@ _round_actions_jit = partial(
     static_argnames=(
         "env", "eval_fn", "kind1", "kind2", "iterations", "c",
         "simulate_round_limit", "dirichlet_alpha", "dirichlet_epsilon",
-        "temperature", "negamax", "mcts_iterations",
+        "temperature", "negamax", "mcts_iterations", "rollout_limit",
     ),
 )(_round_actions)
+
+_agent_actions_jit = partial(
+    jax.jit,
+    static_argnames=(
+        "env", "eval_fn", "kind", "iterations", "c",
+        "simulate_round_limit", "dirichlet_alpha", "dirichlet_epsilon",
+        "temperature", "negamax", "mcts_iterations", "rollout_limit",
+    ),
+)(_agent_actions)
 
 
 @partial(jax.jit, static_argnames=("env",))
@@ -229,13 +265,14 @@ def _init_match(env, r_seed, num_games: int):
     static_argnames=(
         "env", "eval_fn", "kind1", "kind2", "iterations", "c",
         "simulate_round_limit", "dirichlet_alpha", "dirichlet_epsilon",
-        "temperature", "negamax", "mcts_iterations", "rounds",
+        "temperature", "negamax", "mcts_iterations", "rollout_limit",
+        "rounds",
     ),
 )
 def _match_rounds(env, eval_fn, kind1, kind2, vars1, vars2, states, done,
                   rng, iterations, c, simulate_round_limit, dirichlet_alpha,
                   dirichlet_epsilon, temperature, negamax, mcts_iterations,
-                  rounds):
+                  rollout_limit, rounds):
     """Up to ``rounds`` fused arena rounds (early-exit while_loop) from
     (states, done); returns the advanced (states, done, rng, rounds_run).
     The match driver chains these so no single XLA execution runs for many
@@ -254,7 +291,7 @@ def _match_rounds(env, eval_fn, kind1, kind2, vars1, vars2, states, done,
             env, eval_fn, kind1, kind2, vars1, vars2, states, r,
             iterations, c, simulate_round_limit, dirichlet_alpha,
             dirichlet_epsilon, temperature, negamax,
-            mcts_iterations=mcts_iterations,
+            mcts_iterations=mcts_iterations, rollout_limit=rollout_limit,
         )
         states, done = _apply_round(env, states, done, action)
         return states, done, rng, t + 1
@@ -271,7 +308,7 @@ ARENA_CHUNK_ROUNDS = int(__import__("os").environ.get("DIE_E_ARENA_CHUNK", "10")
 def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
                 iterations, c, simulate_round_limit, dirichlet_alpha,
                 dirichlet_epsilon, temperature, negamax, mcts_iterations,
-                num_games, round_limit):
+                num_games, round_limit, rollout_limit=None):
     """The whole match — init, chunked fused round loop, winners — used
     whenever no host-side game recording is requested.  Removes the
     per-round Python dispatch of the reference's host loop
@@ -288,10 +325,64 @@ def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
             env, eval_fn, kind1, kind2, vars1, vars2, states, done, rng,
             iterations, c, simulate_round_limit, dirichlet_alpha,
             dirichlet_epsilon, temperature, negamax, mcts_iterations,
-            rounds,
+            rollout_limit, rounds,
         )
         total += int(ran)
     # live games at the limit are draws (versus.rs:231-234)
+    winner = jnp.where(done, jax.vmap(env.winner)(states), 0)
+    return winner, total
+
+
+def _play_match_mcts_hosted(env, eval_fn, kind1, kind2, vars1, vars2, rng,
+                            iterations, c, simulate_round_limit,
+                            dirichlet_alpha, dirichlet_epsilon, temperature,
+                            negamax, mcts_iterations, num_games, round_limit,
+                            rollout_limit, search_chunk):
+    """Match driver for pure-MCTS opponents: a host round loop in which each
+    MCTS search is itself split across ``search_chunk``-iteration device
+    programs (one fused arena round with a 100-iteration rollout search is
+    minutes of device time — far over the tunnel's program-duration limit).
+    The rng threading mirrors ``_match_rounds`` exactly, so this plays the
+    bit-identical match to the fused path (tested in
+    tests/test_versus.py)."""
+    if mcts_iterations is None:
+        mcts_iterations = iterations
+    rng, r_seed = jax.random.split(rng)
+    states = _init_match(env, r_seed, num_games)
+    done = jax.vmap(env.done)(states)
+
+    def actions_for(kind, variables, r):
+        if kind == Agent.MCTS:
+            return _agent_actions(
+                env, eval_fn, kind, variables, states, r, iterations, c,
+                simulate_round_limit, dirichlet_alpha, dirichlet_epsilon,
+                temperature, negamax, mcts_iterations,
+                rollout_limit=rollout_limit, search_chunk=search_chunk,
+            )
+        return _agent_actions_jit(
+            env, eval_fn, kind, variables, states, r, iterations, c,
+            simulate_round_limit, dirichlet_alpha, dirichlet_epsilon,
+            temperature, negamax, mcts_iterations,
+            rollout_limit=rollout_limit,
+        )
+
+    total = 0
+    for _ in range(round_limit):
+        if bool(jnp.all(done)):
+            break
+        rng, r = jax.random.split(rng)
+        # mirror _round_actions' rng usage: shared draw for identical
+        # kinds, split for mixed pairs
+        if kind1 == kind2:
+            action = actions_for(kind1, vars1, r)
+        else:
+            r1, r2 = jax.random.split(r)
+            use1 = jax.vmap(env.player)(states) == -1
+            a1 = actions_for(kind1, vars1, r1)
+            a2 = actions_for(kind2, vars2, r2)
+            action = jnp.where(use1, a1, a2)
+        states, done = _apply_round(env, states, done, action)
+        total += 1
     winner = jnp.where(done, jax.vmap(env.winner)(states), 0)
     return winner, total
 
@@ -309,11 +400,17 @@ def play(
     record: bool = False,
     metrics=None,
     mcts_iterations: Optional[int] = None,
+    mcts_rollout_limit: Optional[int] = None,
+    mcts_search_chunk: Optional[int] = None,
 ) -> PlayResult:
     """Run the arena match; player 1 is side -1 (versus.rs:186).
 
     ``mcts_iterations`` overrides the rollout budget of pure-MCTS agents
-    only (default: the shared ``mcts_cfg.iterations``)."""
+    only (default: the shared ``mcts_cfg.iterations``);
+    ``mcts_rollout_limit`` caps their playout depth below the draw limit;
+    ``mcts_search_chunk`` runs each pure-MCTS search as a chain of
+    bounded device programs (host round loop) — same match, smaller
+    XLA executions."""
     from die_e_tpu.arena.records import GameRecord
 
     negamax = getattr(mcts_cfg, "negamax", False)
@@ -322,14 +419,27 @@ def play(
         mcts_cfg.dirichlet_alpha, mcts_cfg.dirichlet_epsilon, temperature,
         negamax, mcts_iterations,
     )
+    has_mcts = Agent.MCTS in (player1.kind, player2.kind)
 
     games = []
-    if not record:
+    if not record and has_mcts and mcts_search_chunk is not None:
+        winner, rounds = _play_match_mcts_hosted(
+            env, eval_fn, player1.kind, player2.kind,
+            player1.variables, player2.variables, rng,
+            *search_args, num_games, round_limit,
+            mcts_rollout_limit, mcts_search_chunk,
+        )
+        winner = np.asarray(winner)
+        if metrics is not None:
+            metrics.log("arena_match", rounds=int(rounds),
+                        games=num_games)
+    elif not record:
         # fused path: the whole match is one jitted program
         winner, rounds = _play_match(
             env, eval_fn, player1.kind, player2.kind,
             player1.variables, player2.variables, rng,
             *search_args, num_games, round_limit,
+            rollout_limit=mcts_rollout_limit,
         )
         winner = np.asarray(winner)
         if metrics is not None:

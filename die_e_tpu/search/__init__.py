@@ -6,7 +6,7 @@ from die_e_tpu.search.tree import (
     root_visit_probs,
 )
 from die_e_tpu.search.alpha import alpha_search, get_next_move, SearchResult
-from die_e_tpu.search.simple import simple_search
+from die_e_tpu.search.simple import simple_search, simple_search_hosted
 
 __all__ = [
     "Tree",
@@ -18,4 +18,5 @@ __all__ = [
     "get_next_move",
     "SearchResult",
     "simple_search",
+    "simple_search_hosted",
 ]

@@ -142,75 +142,77 @@ def _rollout(env, states, rng, player, sim_limit: int):
     ) * done.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("env", "iterations", "c",
-                                   "simulate_round_limit", "selection"))
-def simple_search(
-    env,
-    states,
-    rng,
-    iterations: int = 100,
-    c: float = 2.0,
-    simulate_round_limit: int = 400,
-    selection: str = "most_visits",
-):
-    """Pure-rollout MCTS over a batch of root states; returns
-    (action [B], visit_probs [B, A]).
+def _iteration_body(env, c, sim_limit, player, root_states, carry):
+    """One select/expand/rollout/backprop iteration (mct_search's loop body,
+    simple_mcts.rs:10-39) over the carried (tree, rng)."""
+    tree, rng = carry
+    rng, r_expand = jax.random.split(rng)
+    leaf, leaf_states = _select_leaf(tree, env, root_states, c, player)
+    is_term = node_field(tree, tree.node_done.astype(jnp.int32), leaf) > 0
+    w = node_field(tree, tree.node_winner, leaf)
+    term_val = jnp.where(w == player, 1.0, jnp.where(w == -player, -1.0, 0.0))
 
-    ``selection`` picks the final-move rule: ``"most_visits"`` is argmax
-    visits (select_most_visits, simple_mcts.rs:71-86, the reference's
-    default); ``"win_pct"`` is argmax mean child value
-    (select_win_pct via win_pct, simple_mcts.rs:54-69 + node.rs:114-116).
-    Terminal roots return the noop action (mct_search's EMPTY_MOVE
-    early-out, simple_mcts.rs:12-14).
-    """
-    if selection not in ("most_visits", "win_pct"):
-        raise ValueError(f"unknown selection mode {selection!r}")
-    tree = init_tree(env, states, capacity=iterations + 1)
+    # expand one child for non-terminal leaves (node.rs:118-137)
+    action, can_expand = _next_expand_action(tree, leaf)
+    do_expand = can_expand & ~is_term
+    child_states = jax.vmap(env.step)(leaf_states, action)
+    tree, new_idx = allocate(
+        tree, env, leaf, action, jnp.zeros_like(term_val), do_expand,
+        child_states,
+    )
+    oh_leaf = leaf[:, None] == jnp.arange(tree.capacity)[None, :]
+    tree = tree.replace(
+        num_expanded=tree.num_expanded
+        + (oh_leaf & do_expand[:, None]).astype(jnp.int32)
+    )
+    # record the new node's legality for its own later expansion;
+    # the evaluated state is the fresh child where one was expanded,
+    # else the (terminal/full) leaf itself
+    target = jnp.where(do_expand, new_idx, leaf)
+    new_states = freeze_where(do_expand, child_states, leaf_states)
+    tree = set_prior_row(tree, target, _legal_rows(env, new_states), do_expand)
+
+    # evaluate: rollout from the new child, or terminal value at leaf
+    sim_val = _rollout(env, new_states, r_expand, player, sim_limit)
+    value = jnp.where(is_term, term_val, sim_val)
+    start = jnp.where(do_expand, new_idx, leaf)
+    tree = backprop(tree, start, value)
+    return tree, rng
+
+
+@partial(jax.jit, static_argnames=("env", "capacity"))
+def simple_search_init(env, states, capacity: int):
+    """Allocate the tree and record root legality; returns (tree, player)."""
+    tree = init_tree(env, states, capacity=capacity)
     tree = set_prior_row(
         tree,
         jnp.zeros((tree.batch_size,), jnp.int32),
         _legal_rows(env, states),
         jnp.ones((tree.batch_size,), bool),
     )
-    player = jax.vmap(env.player)(states)
+    return tree, jax.vmap(env.player)(states)
 
-    def body(i, carry):
-        tree, rng = carry
-        rng, r_expand = jax.random.split(rng)
-        leaf, leaf_states = _select_leaf(tree, env, states, c, player)
-        is_term = node_field(tree, tree.node_done.astype(jnp.int32), leaf) > 0
-        w = node_field(tree, tree.node_winner, leaf)
-        term_val = jnp.where(w == player, 1.0, jnp.where(w == -player, -1.0, 0.0))
 
-        # expand one child for non-terminal leaves (node.rs:118-137)
-        action, can_expand = _next_expand_action(tree, leaf)
-        do_expand = can_expand & ~is_term
-        child_states = jax.vmap(env.step)(leaf_states, action)
-        tree, new_idx = allocate(
-            tree, env, leaf, action, jnp.zeros_like(term_val), do_expand,
-            child_states,
-        )
-        oh_leaf = leaf[:, None] == jnp.arange(tree.capacity)[None, :]
-        tree = tree.replace(
-            num_expanded=tree.num_expanded
-            + (oh_leaf & do_expand[:, None]).astype(jnp.int32)
-        )
-        # record the new node's legality for its own later expansion;
-        # the evaluated state is the fresh child where one was expanded,
-        # else the (terminal/full) leaf itself
-        target = jnp.where(do_expand, new_idx, leaf)
-        new_states = freeze_where(do_expand, child_states, leaf_states)
-        tree = set_prior_row(tree, target, _legal_rows(env, new_states), do_expand)
+@partial(jax.jit, static_argnames=("env", "n_iters", "c", "rollout_limit"))
+def simple_search_chunk(env, tree, root_states, rng, player, n_iters: int,
+                        c: float, rollout_limit: int):
+    """Run ``n_iters`` search iterations; the (tree, rng) carry crosses
+    device-program boundaries, so callers can bound any single XLA
+    execution (the axon tunnel kills programs over ~20-45 s) by chaining
+    chunks — chunk boundaries don't change the rng sequence, so any
+    chunking computes the identical search."""
+    body = partial(_iteration_body, env, c, rollout_limit, player, root_states)
+    return jax.lax.fori_loop(0, n_iters, lambda i, cr: body(cr), (tree, rng))
 
-        # evaluate: rollout from the new child, or terminal value at leaf
-        sim_val = _rollout(env, new_states, r_expand, player, simulate_round_limit)
-        value = jnp.where(is_term, term_val, sim_val)
-        start = jnp.where(do_expand, new_idx, leaf)
-        tree = backprop(tree, start, value)
-        return tree, rng
 
-    tree, _ = jax.lax.fori_loop(0, iterations, body, (tree, rng))
-
+@partial(jax.jit, static_argnames=("env", "selection"))
+def simple_search_select(env, tree, selection: str = "most_visits"):
+    """Final-move rule over the finished tree: ``"most_visits"`` is argmax
+    visits (select_most_visits, simple_mcts.rs:71-86, the reference's
+    default); ``"win_pct"`` is argmax mean child value (select_win_pct via
+    win_pct, simple_mcts.rs:54-69 + node.rs:114-116).  Terminal roots
+    return the noop action (mct_search's EMPTY_MOVE early-out,
+    simple_mcts.rs:12-14)."""
     probs = root_visit_probs(tree)
     if selection == "win_pct":
         q = root_q_values(tree)  # -inf where the root has no child
@@ -220,3 +222,71 @@ def simple_search(
     root_terminal = tree.node_done[:, 0]
     action = jnp.where(root_terminal, env.spec.noop_action, action)
     return action, probs
+
+
+def _check_args(selection, rollout_limit, simulate_round_limit):
+    if selection not in ("most_visits", "win_pct"):
+        raise ValueError(f"unknown selection mode {selection!r}")
+    return rollout_limit if rollout_limit is not None else simulate_round_limit
+
+
+@partial(jax.jit, static_argnames=("env", "iterations", "c",
+                                   "simulate_round_limit", "selection",
+                                   "rollout_limit"))
+def simple_search(
+    env,
+    states,
+    rng,
+    iterations: int = 100,
+    c: float = 2.0,
+    simulate_round_limit: int = 400,
+    selection: str = "most_visits",
+    rollout_limit: int | None = None,
+):
+    """Pure-rollout MCTS over a batch of root states; returns
+    (action [B], visit_probs [B, A]).
+
+    ``rollout_limit`` caps playout depth separately from the draw limit
+    (default: ``simulate_round_limit``, the reference's single knob,
+    node.rs:176-196); truncated playouts score 0 like round-limit draws.
+    A small cap bounds the sequential work per search — this is strictly
+    deeper than the reference, whose rollouts ALWAYS return 0 (the
+    stale-winner-check quirk documented above).
+    """
+    limit = _check_args(selection, rollout_limit, simulate_round_limit)
+    tree, player = simple_search_init(env, states, capacity=iterations + 1)
+    tree, _ = simple_search_chunk(
+        env, tree, states, rng, player, n_iters=iterations, c=c,
+        rollout_limit=limit,
+    )
+    return simple_search_select(env, tree, selection)
+
+
+def simple_search_hosted(
+    env,
+    states,
+    rng,
+    iterations: int = 100,
+    chunk: int = 25,
+    c: float = 2.0,
+    simulate_round_limit: int = 400,
+    selection: str = "most_visits",
+    rollout_limit: int | None = None,
+):
+    """``simple_search`` split into ceil(iterations/chunk) device programs.
+
+    Bit-identical to the fused search (the rng is carried through the
+    chunk boundary), but no single XLA execution runs more than
+    ``chunk * (rollout_limit + tree depth)`` env steps — required for pure
+    -MCTS arena opponents under the tunnel's program-duration limit."""
+    limit = _check_args(selection, rollout_limit, simulate_round_limit)
+    tree, player = simple_search_init(env, states, capacity=iterations + 1)
+    done = 0
+    while done < iterations:
+        n = min(chunk, iterations - done)
+        tree, rng = simple_search_chunk(
+            env, tree, states, rng, player, n_iters=n, c=c,
+            rollout_limit=limit,
+        )
+        done += n
+    return simple_search_select(env, tree, selection)

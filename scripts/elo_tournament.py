@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--sims", type=int, default=100,
                     help="model PUCT sims per move")
     ap.add_argument("--round-limit", type=int, default=300)
+    ap.add_argument("--rollout-limit", type=int, default=60,
+                    help="pure-MCTS anchor playout depth cap")
+    ap.add_argument("--search-chunk", type=int, default=20,
+                    help="pure-MCTS iterations per device program")
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--negamax", action="store_true")
     ap.add_argument("--skip-anchor-pairs", action="store_true",
@@ -125,6 +129,7 @@ def main():
         if p_a.kind == Agent.MCTS and p_b.kind == Agent.MCTS and it_a != it_b:
             continue  # play() shares one rollout budget per match
         mcts_iters = it_a if it_a is not None else it_b
+        has_mcts = Agent.MCTS in (p_a.kind, p_b.kind)
         rng, r = jax.random.split(rng)
         t0 = time.perf_counter()
         res = play(
@@ -132,6 +137,8 @@ def main():
             temperature=0.3,  # near-greedy for strength measurement
             num_games=args.games, round_limit=args.round_limit,
             mcts_iterations=mcts_iters,
+            mcts_rollout_limit=args.rollout_limit if has_mcts else None,
+            mcts_search_chunk=args.search_chunk if has_mcts else None,
         )
         rec = {
             "metric": "elo_match", "player_a": a, "player_b": b,

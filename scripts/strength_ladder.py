@@ -42,6 +42,12 @@ def main():
     ap.add_argument("--round-limit", type=int, default=300)
     ap.add_argument("--sims", type=int, default=100,
                     help="model PUCT sims per move")
+    ap.add_argument("--rollout-limit", type=int, default=60,
+                    help="pure-MCTS playout depth cap (truncated playouts "
+                    "score 0, like round-limit draws)")
+    ap.add_argument("--search-chunk", type=int, default=20,
+                    help="pure-MCTS iterations per device program "
+                    "(tunnel program-duration bound)")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--negamax", action="store_true")
     ap.add_argument("--out", default=None, help="append JSONL here too")
@@ -76,11 +82,14 @@ def main():
             raise SystemExit(f"unknown rung {rung!r}")
         rng, r = jax.random.split(rng)
         t0 = time.perf_counter()
+        is_mcts = opponent.kind == Agent.MCTS
         res = play(
             bg.ENV, eval_fn, model, opponent, r, mcts_cfg,
             temperature=0.3,  # near-greedy for strength measurement
             num_games=args.games, round_limit=args.round_limit,
             mcts_iterations=mcts_iters,
+            mcts_rollout_limit=args.rollout_limit if is_mcts else None,
+            mcts_search_chunk=args.search_chunk if is_mcts else None,
         )
         line = {
             "metric": "strength_ladder", "model": path, "rung": rung,
@@ -89,6 +98,8 @@ def main():
             "model_sims": args.sims, "round_limit": args.round_limit,
             "secs": round(time.perf_counter() - t0, 1),
         }
+        if is_mcts:
+            line["rollout_limit"] = args.rollout_limit
         print(json.dumps(line), flush=True)
         if args.out:
             with open(args.out, "a") as f:

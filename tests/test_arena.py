@@ -62,6 +62,32 @@ class TestPlay:
         )
         assert res.n_games == 8
 
+    def test_hosted_mcts_match_matches_fused(self):
+        """mcts_search_chunk chains bounded device programs but threads the
+        rng exactly as the fused round loop — the match is bit-identical."""
+        for p1, p2 in [
+            (Player(Agent.MCTS), Player(Agent.RANDOM)),  # mixed pair
+            (Player(Agent.MCTS), Player(Agent.MCTS)),    # shared-draw pair
+        ]:
+            fused = play(
+                ttt.ENV, EVAL, p1, p2, jax.random.PRNGKey(9), MCTS_CFG,
+                num_games=8, round_limit=9,
+            )
+            hosted = play(
+                ttt.ENV, EVAL, p1, p2, jax.random.PRNGKey(9), MCTS_CFG,
+                num_games=8, round_limit=9, mcts_search_chunk=3,
+            )
+            assert (fused.wins_p1, fused.wins_p2, fused.draws) == (
+                hosted.wins_p1, hosted.wins_p2, hosted.draws)
+
+    def test_mcts_rollout_limit_match_runs(self):
+        res = play(
+            ttt.ENV, EVAL, Player(Agent.MCTS), Player(Agent.RANDOM),
+            jax.random.PRNGKey(12), MCTS_CFG, num_games=8, round_limit=9,
+            mcts_rollout_limit=3, mcts_search_chunk=4,
+        )
+        assert res.wins_p1 + res.wins_p2 + res.draws == 8
+
 
 class TestRecords:
     def _mk_record(self):

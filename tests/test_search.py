@@ -117,6 +117,48 @@ class TestSimpleSearch:
         )
         assert int(action[0]) == ttt.NOOP_ACTION
 
+    def test_hosted_chunked_matches_fused(self):
+        """Chunk boundaries carry (tree, rng) across device programs, so
+        any chunking computes the bit-identical search."""
+        from die_e_tpu.search.simple import simple_search_hosted
+
+        states = jax.vmap(ttt.init)(jnp.arange(4, dtype=jnp.uint32))
+        a1, p1 = simple_search(
+            ttt.ENV, states, jax.random.PRNGKey(11), iterations=20, c=2.0,
+            simulate_round_limit=9,
+        )
+        a2, p2 = simple_search_hosted(
+            ttt.ENV, states, jax.random.PRNGKey(11), iterations=20,
+            chunk=3, c=2.0, simulate_round_limit=9,
+        )
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    def test_rollout_limit_cap_equals_draw_limit_when_equal(self):
+        states = jax.vmap(ttt.init)(jnp.arange(4, dtype=jnp.uint32))
+        _, p1 = simple_search(
+            ttt.ENV, states, jax.random.PRNGKey(5), iterations=30, c=2.0,
+            simulate_round_limit=9,
+        )
+        _, p2 = simple_search(
+            ttt.ENV, states, jax.random.PRNGKey(5), iterations=30, c=2.0,
+            simulate_round_limit=9, rollout_limit=9,
+        )
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+    def test_rollout_limit_truncates_playouts(self):
+        # with depth-0 rollouts every simulated value is 0; the search
+        # still runs and returns a legal move
+        states = jax.vmap(ttt.init)(jnp.arange(4, dtype=jnp.uint32))
+        action, probs = simple_search(
+            ttt.ENV, states, jax.random.PRNGKey(6), iterations=30, c=2.0,
+            simulate_round_limit=9, rollout_limit=1,
+        )
+        legal = np.asarray(jax.vmap(ttt.ENV.legal_mask)(states))
+        for b, a in enumerate(np.asarray(action)):
+            assert legal[b, a]
+        assert np.all(np.asarray(probs) >= 0.0)
+
 
 class TestAlphaSearch:
     def test_finds_immediate_win(self):
