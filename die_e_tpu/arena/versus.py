@@ -313,13 +313,45 @@ def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
     whenever no host-side game recording is requested.  Removes the
     per-round Python dispatch of the reference's host loop
     (versus.rs:192-253) while bounding each device program to
-    ARENA_CHUNK_ROUNDS rounds."""
+    ARENA_CHUNK_ROUNDS rounds.
+
+    With DIE_E_ARENA_COMPACT=1, live games are re-packed into the next
+    power-of-two batch at chunk boundaries (>= DIE_E_ARENA_MIN_BATCH,
+    default 64) — the reference's per-side live-game partition
+    (versus.rs:195-208) translated to lockstep shapes: late rounds search
+    a fraction of the batch instead of a mostly-done full batch."""
+    import os
+
+    import numpy as np
+
+    from die_e_tpu.envs.base import compact_take, compaction_plan
+    from die_e_tpu.train.self_play import _chunk_winner
+
+    compact = os.environ.get("DIE_E_ARENA_COMPACT", "0") == "1"
+    min_batch = int(os.environ.get("DIE_E_ARENA_MIN_BATCH", "64"))
+
     rng, r_seed = jax.random.split(rng)
     states = _init_match(env, r_seed, num_games)
     done = jax.vmap(env.done)(states)
+    orig = np.arange(num_games)
+    done_acc = np.zeros(num_games, bool)
+    winner_acc = np.zeros(num_games, np.int32)
 
     total = 0
-    while total < round_limit and not bool(jnp.all(done)):
+    while total < round_limit:
+        done_h = np.asarray(done)
+        if compact:
+            win_h = np.asarray(_chunk_winner(env, states, done))
+            done_acc[orig] |= done_h
+            fin = np.nonzero(done_h)[0]
+            winner_acc[orig[fin]] = win_h[fin]
+        if done_h.all():
+            break
+        if compact:
+            idx = compaction_plan(done_h, min_batch)
+            if idx is not None:
+                states, done = compact_take(states, done, jnp.asarray(idx))
+                orig = orig[idx]
         rounds = min(ARENA_CHUNK_ROUNDS, round_limit - total)
         states, done, rng, ran = _match_rounds(
             env, eval_fn, kind1, kind2, vars1, vars2, states, done, rng,
@@ -329,7 +361,15 @@ def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
         )
         total += int(ran)
     # live games at the limit are draws (versus.rs:231-234)
-    winner = jnp.where(done, jax.vmap(env.winner)(states), 0)
+    if compact:
+        done_h = np.asarray(done)
+        win_h = np.asarray(_chunk_winner(env, states, done))
+        done_acc[orig] |= done_h
+        fin = np.nonzero(done_h)[0]
+        winner_acc[orig[fin]] = win_h[fin]
+        winner = jnp.asarray(np.where(done_acc, winner_acc, 0))
+    else:
+        winner = jnp.where(done, jax.vmap(env.winner)(states), 0)
     return winner, total
 
 
@@ -344,12 +384,37 @@ def _play_match_mcts_hosted(env, eval_fn, kind1, kind2, vars1, vars2, rng,
     minutes of device time — far over the tunnel's program-duration limit).
     The rng threading mirrors ``_match_rounds`` exactly, so this plays the
     bit-identical match to the fused path (tested in
-    tests/test_versus.py)."""
+    tests/test_arena.py); DIE_E_ARENA_COMPACT=1 additionally re-packs
+    live games at round boundaries (which reshapes the rng draws — still
+    the same match protocol, no longer bit-identical)."""
+    import os
+
+    import numpy as np
+
+    from die_e_tpu.envs.base import compact_take, compaction_plan
+    from die_e_tpu.train.self_play import _chunk_winner
+
+    compact = os.environ.get("DIE_E_ARENA_COMPACT", "0") == "1"
+    min_batch = int(os.environ.get("DIE_E_ARENA_MIN_BATCH", "64"))
+
     if mcts_iterations is None:
         mcts_iterations = iterations
     rng, r_seed = jax.random.split(rng)
     states = _init_match(env, r_seed, num_games)
     done = jax.vmap(env.done)(states)
+    orig = np.arange(num_games)
+    done_acc = np.zeros(num_games, bool)
+    winner_acc = np.zeros(num_games, np.int32)
+
+    def merge_and_plan():
+        done_h = np.asarray(done)
+        if not compact:
+            return done_h.all(), None
+        win_h = np.asarray(_chunk_winner(env, states, done))
+        done_acc[orig] |= done_h
+        fin = np.nonzero(done_h)[0]
+        winner_acc[orig[fin]] = win_h[fin]
+        return done_h.all(), compaction_plan(done_h, min_batch)
 
     def actions_for(kind, variables, r):
         if kind == Agent.MCTS:
@@ -368,8 +433,12 @@ def _play_match_mcts_hosted(env, eval_fn, kind1, kind2, vars1, vars2, rng,
 
     total = 0
     for _ in range(round_limit):
-        if bool(jnp.all(done)):
+        all_done, idx = merge_and_plan()
+        if all_done:
             break
+        if idx is not None:
+            states, done = compact_take(states, done, jnp.asarray(idx))
+            orig = orig[idx]
         rng, r = jax.random.split(rng)
         # mirror _round_actions' rng usage: shared draw for identical
         # kinds, split for mixed pairs
@@ -383,7 +452,11 @@ def _play_match_mcts_hosted(env, eval_fn, kind1, kind2, vars1, vars2, rng,
             action = jnp.where(use1, a1, a2)
         states, done = _apply_round(env, states, done, action)
         total += 1
-    winner = jnp.where(done, jax.vmap(env.winner)(states), 0)
+    if compact:
+        merge_and_plan()
+        winner = jnp.asarray(np.where(done_acc, winner_acc, 0))
+    else:
+        winner = jnp.where(done, jax.vmap(env.winner)(states), 0)
     return winner, total
 
 

@@ -33,6 +33,50 @@ def freeze_where(done, old_states: State, new_states: State) -> State:
     return jax.tree_util.tree_map(sel, old_states, new_states)
 
 
+def compact_take(states: State, done, idx):
+    """Re-pack a lockstep batch: gather rows ``idx`` [new_B] from the
+    [B, ...] state pytree and done mask.  The device-side half of batch
+    compaction — the TPU answer to the reference's removal of finished
+    games from the batch (alpha_parallel.rs:226-228): lockstep shapes
+    can't shrink dynamically, so hosted drivers instead re-pack live games
+    into the next power-of-two batch at chunk boundaries (one compile per
+    (B, new_B) pair; see :func:`compaction_plan`)."""
+    global _COMPACT_TAKE
+    if _COMPACT_TAKE is None:
+        import jax
+        import jax.numpy as jnp
+
+        _COMPACT_TAKE = jax.jit(
+            lambda s, d, i: (
+                jax.tree_util.tree_map(lambda a: jnp.take(a, i, axis=0), s),
+                jnp.take(d, i, axis=0),
+            )
+        )
+    return _COMPACT_TAKE(states, done, idx)
+
+
+_COMPACT_TAKE = None
+
+
+def compaction_plan(done_h, min_batch: int):
+    """Host-side half of batch compaction: given the fetched done mask
+    [B] (numpy bool), return an int32 index array [new_B] packing live
+    games first (padded with finished games, which step frozen and
+    contribute nothing) — or None when shrinking isn't worthwhile.
+    new_B is the next power of two >= max(live, min_batch), so repeated
+    compaction costs at most log2(B/min_batch) extra program compiles."""
+    import numpy as np
+
+    b = len(done_h)
+    live_idx = np.nonzero(~done_h)[0]
+    live = max(int(live_idx.size), 1)
+    new_b = max(min_batch, 1 << (live - 1).bit_length())
+    if new_b >= b:
+        return None
+    fill = np.nonzero(done_h)[0][: new_b - live_idx.size]
+    return np.concatenate([live_idx, fill]).astype(np.int32)
+
+
 @dataclasses.dataclass(frozen=True)
 class GameSpec:
     """Static per-game constants (reference src/base.rs:17-24).

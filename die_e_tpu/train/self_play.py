@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from die_e_tpu.envs.base import freeze_where
+from die_e_tpu.envs.base import compact_take, compaction_plan, freeze_where
 from die_e_tpu.search.alpha import alpha_search, sample_action
 
 
@@ -156,6 +156,13 @@ def self_play_chunk(
     )
 
 
+@partial(jax.jit, static_argnames=("env",))
+def _chunk_winner(env, states, done):
+    """Winner snapshot [B] (0 while live): fetched per chunk so compaction
+    can drop finished games without losing their result."""
+    return jnp.where(done, jax.vmap(env.winner)(states), 0)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -260,6 +267,8 @@ def self_play_hosted(
     negamax: bool = False,
     chunk_rounds: int = None,
     progress=None,
+    compact: bool = None,
+    min_batch: int = None,
 ):
     """Chunked self-play driver: the lockstep loop runs ``chunk_rounds``
     rounds per device program, the host fetches each chunk, filters the
@@ -276,6 +285,16 @@ def self_play_hosted(
     uint16 probs buffer and runs ~8 minutes as one program, which the axon
     single-chip worker does not survive.
 
+    ``compact`` (default: env DIE_E_SP_COMPACT=1) additionally re-packs
+    live games into the next power-of-two batch at chunk boundaries
+    (>= ``min_batch``, env DIE_E_SP_MIN_BATCH, default 128) — the hosted
+    equivalent of the reference REMOVING finished games from its batch
+    (alpha_parallel.rs:226-228, DIVERGENCES.md row 12): late-game rounds
+    then search a fraction of the original batch instead of a mostly-done
+    full batch.  Trajectories are no longer bit-identical to the fused
+    form (batch shape feeds the rng draws) but the game/fragment semantics
+    are unchanged (tested in tests/test_train.py).
+
     Returns (obs [F,H,W,C] f32, ps [F,A] f32 temperature powers,
     outcome [F] f32, winner [B] i32, num_moves int).
     """
@@ -288,6 +307,10 @@ def self_play_hosted(
         # survive, ~45 s programs crash the worker — 6 rounds x 100 sims at
         # B=1024 is ~10 s.  Real (untunneled) chips can raise this.
         chunk_rounds = int(os.environ.get("DIE_E_SP_CHUNK", "6"))
+    if compact is None:
+        compact = os.environ.get("DIE_E_SP_COMPACT", "0") == "1"
+    if min_batch is None:
+        min_batch = int(os.environ.get("DIE_E_SP_MIN_BATCH", "128"))
 
     rng, r_seed = jax.random.split(rng)
     seeds = jax.random.randint(
@@ -297,10 +320,22 @@ def self_play_hosted(
     done = jax.vmap(env.done)(states)
 
     frags_obs, frags_q, frags_player, frags_gidx = [], [], [], []
+    # per-original-game winner/done accumulators: games dropped by a
+    # compaction have already finished, so their winner is recorded from
+    # the chunk fetch before they can be dropped
+    orig = np.arange(batch_size)
+    done_acc = np.zeros(batch_size, bool)
+    winner_acc = np.zeros(batch_size, np.int32)
+
+    def _merge_winners(done_h, winner_h, gmap):
+        done_acc[gmap] |= done_h
+        fin = np.nonzero(done_h)[0]
+        winner_acc[gmap[fin]] = winner_h[fin]
 
     def _process(chunk):
-        """Fetch + valid-filter one chunk's buffers; returns all-done."""
-        obs, qprobs, player, valid, done = chunk
+        """Fetch + valid-filter one chunk's buffers; returns the fetched
+        done mask (all() == match over)."""
+        obs, qprobs, player, valid, done, winner, gmap = chunk
         valid_h = np.asarray(valid).reshape(-1)
         player_h = np.asarray(player)
         r, b = player_h.shape
@@ -309,8 +344,11 @@ def self_play_hosted(
         )
         frags_q.append(np.asarray(qprobs).reshape(r * b, -1)[valid_h])
         frags_player.append(player_h.reshape(-1)[valid_h])
-        frags_gidx.append(np.tile(np.arange(b), r)[valid_h])
-        return bool(np.asarray(done).all())
+        frags_gidx.append(np.tile(gmap, r)[valid_h])
+        done_h = np.asarray(done)
+        if winner is not None:
+            _merge_winners(done_h, np.asarray(winner), gmap)
+        return done_h
 
     # 1-deep dispatch pipeline: chunk k+1 is dispatched (chained purely on
     # device handles) BEFORE chunk k's big buffers are fetched, and the
@@ -329,26 +367,46 @@ def self_play_hosted(
             dirichlet_epsilon=dirichlet_epsilon,
             temperature=temperature, rounds=rounds, negamax=negamax,
         )
-        for buf in (obs, qprobs, player, valid, done):
+        winner_dev = _chunk_winner(env, states, done) if compact else None
+        for buf in (obs, qprobs, player, valid, done, winner_dev):
             try:
                 buf.copy_to_host_async()
             except AttributeError:  # pragma: no cover - non-jax arrays
                 pass
         t += rounds
-        chunk = (obs, qprobs, player, valid, done)
+        chunk = (obs, qprobs, player, valid, done, winner_dev, orig)
         if pending is not None:
-            if _process(pending):
+            done_h = _process(pending)
+            if done_h.all():
                 pending = None
                 break
             if progress is not None:
                 progress(t, -1)
+            if compact:
+                # the processed chunk's done knowledge is one chunk stale
+                # w.r.t. the just-dispatched chunk's states (done only
+                # grows, so a stale-live game is a superset of live-now:
+                # every live game is kept), and it lives in the processed
+                # chunk's mapping — project it through the per-original-
+                # game accumulator onto the CURRENT mapping.  The gather
+                # chains on the in-flight device handles, no sync.
+                idx = compaction_plan(done_acc[orig], min_batch)
+                if idx is not None:
+                    states, done = compact_take(states, done, jnp.asarray(idx))
+                    orig = orig[idx]
         pending = chunk
     if pending is not None:
         _process(pending)
 
-    winner = np.asarray(
+    done_fin = np.asarray(done)
+    winner_fin = np.asarray(
         jnp.where(done, jax.vmap(env.winner)(states), 0)
     )
+    if compact:
+        _merge_winners(done_fin, winner_fin, orig)
+        winner = np.where(done_acc, winner_acc, 0).astype(winner_fin.dtype)
+    else:
+        winner = winner_fin
     obs = np.concatenate(frags_obs) if frags_obs else np.zeros(
         (0, *env.spec.obs_shape), np.float32
     )

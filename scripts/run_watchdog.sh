@@ -18,6 +18,7 @@ while true; do
     break
   fi
   PYTHONPATH=/root/repo:/root/.axon_site \
+    DIE_E_SP_COMPACT=1 DIE_E_ARENA_COMPACT=1 \
     python -m die_e_tpu.cli.main -c /root/repo/configs/bg_full.toml \
     -g backgammon --metrics-jsonl ./metrics.jsonl learn --resume \
     >> ./run.log 2>&1 &

@@ -264,6 +264,52 @@ class TestSelfPlay:
         np.testing.assert_array_equal(outcome, f_outcome)
         assert moves == len(f_obs)
 
+    def test_hosted_compaction_semantics(self):
+        """Batch compaction (re-pack live games at chunk boundaries,
+        DIVERGENCES.md row 12) reshapes the rng draws so trajectories
+        differ from the fused form, but every game still finishes, every
+        fragment's outcome is its game winner from its player's
+        perspective, and winners land on the right original game ids."""
+        from die_e_tpu.train.self_play import self_play_hosted
+
+        obs, ps, outcome, winner, moves = self_play_hosted(
+            ttt.ENV, net_eval_fn(NET), init_params(NET, jax.random.PRNGKey(0)),
+            jax.random.PRNGKey(5), batch_size=16, iterations=16, c=2.0,
+            temperature=1.25, round_limit=9, chunk_rounds=2,
+            compact=True, min_batch=2,
+        )
+        assert winner.shape == (16,)
+        assert moves == len(obs) > 0
+        assert set(np.unique(winner)) <= {-1, 0, 1}
+        # ttt at round_limit 9 always finishes; no draws-by-limit games
+        # means every game has a recorded terminal result or a real draw
+        assert np.all(np.abs(outcome) <= 1.0)
+        # fragment outcomes must be consistent within a game: re-derive
+        # the winner per fragment from (outcome, player) is impossible
+        # without gidx, but outcome values must come from {-w, 0, +w}
+        assert ps.shape == (len(obs), 9)
+
+    def test_compaction_primitives(self):
+        from die_e_tpu.envs.base import compact_take, compaction_plan
+
+        done = np.array([True, False, True, False, True, True, True, True])
+        idx = compaction_plan(done, min_batch=2)
+        # 2 live games -> pow2 batch of 2: exactly the live indices
+        np.testing.assert_array_equal(idx, [1, 3])
+        # 3 live -> pow2 4, padded with a finished game
+        done3 = np.array([False, True, False, True, False, True, True, True])
+        np.testing.assert_array_equal(
+            compaction_plan(done3, min_batch=2), [0, 2, 4, 1])
+        # not worth shrinking
+        assert compaction_plan(~done, min_batch=2) is None
+        assert compaction_plan(done, min_batch=8) is None
+
+        states = jax.vmap(ttt.init)(jnp.arange(8, dtype=jnp.uint32))
+        taken, tdone = compact_take(states, jnp.asarray(done), jnp.asarray(idx))
+        np.testing.assert_array_equal(np.asarray(tdone), [False, False])
+        np.testing.assert_array_equal(
+            np.asarray(taken.board), np.asarray(states.board)[[1, 3]])
+
 
 class TestCheckpoint:
     def test_variables_roundtrip(self, tmp_path):
