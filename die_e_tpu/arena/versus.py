@@ -14,14 +14,17 @@ runs the batched PUCT search + temperature sampling (:276-302).
 
 Vectorization note: the reference partitions live games by side to move and
 evaluates each agent only on its own games (:195-208); here lockstep shapes
-make per-side partitioning impossible, so instead ONE action computation per
-round serves both sides: for model-vs-model (the gating path) a single
-batched PUCT search runs with per-game parameter selection by side-to-move
-(the dual eval below), and for identical non-model agents one computation is
-shared — never two full searches over the full batch.  The whole match
-(round loop included) is fused under one jit when no host-side game
-recording is requested; the ``record=True`` path keeps a host loop so it can
-log per-round turns.
+make per-side partitioning impossible, so ONE action computation per round
+serves both sides wherever the agent kinds allow it: for model-vs-model
+(the gating path — the per-learn-iteration cost) a single batched PUCT
+search runs with per-game parameter selection by side-to-move (the dual
+eval below), and for identical non-model agents one computation is shared.
+MIXED-kind pairs (model vs mcts/random, the strength-ladder path) still
+compute both agents' actions over the full batch and select by
+side-to-move — the lockstep-shape price of differing per-agent programs.
+The whole match (round loop included) is fused under one jit when no
+host-side game recording is requested; the ``record=True`` path keeps a
+host loop so it can log per-round turns.
 """
 
 from __future__ import annotations
@@ -299,10 +302,15 @@ def _match_rounds(env, eval_fn, kind1, kind2, vars1, vars2, states, done,
     return jax.lax.while_loop(cond, body, (states, done, rng, jnp.int32(0)))
 
 
-# measured on the axon single-chip tunnel: ~16 s single programs survive,
-# ~45 s programs crash the worker; 10 arena rounds x 100 sims at B=400
-# (dual-model eval) stays around 10 s
-ARENA_CHUNK_ROUNDS = int(__import__("os").environ.get("DIE_E_ARENA_CHUNK", "10"))
+def _arena_chunk_rounds() -> int:
+    """Rounds per device program.  Measured on the axon single-chip
+    tunnel: ~16 s single programs survive, ~45 s programs crash the
+    worker; 10 arena rounds x 100 sims at B=400 (dual-model eval) stays
+    around 10 s.  Read per call (like DIE_E_ARENA_COMPACT and
+    DIE_E_SP_CHUNK) so tests and drivers can override after import."""
+    import os
+
+    return int(os.environ.get("DIE_E_ARENA_CHUNK", "10"))
 
 
 def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
@@ -313,7 +321,7 @@ def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
     whenever no host-side game recording is requested.  Removes the
     per-round Python dispatch of the reference's host loop
     (versus.rs:192-253) while bounding each device program to
-    ARENA_CHUNK_ROUNDS rounds.
+    _arena_chunk_rounds() rounds.
 
     With DIE_E_ARENA_COMPACT=1, live games are re-packed into the next
     power-of-two batch at chunk boundaries (>= DIE_E_ARENA_MIN_BATCH,
@@ -352,7 +360,7 @@ def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
             if idx is not None:
                 states, done = compact_take(states, done, jnp.asarray(idx))
                 orig = orig[idx]
-        rounds = min(ARENA_CHUNK_ROUNDS, round_limit - total)
+        rounds = min(_arena_chunk_rounds(), round_limit - total)
         states, done, rng, ran = _match_rounds(
             env, eval_fn, kind1, kind2, vars1, vars2, states, done, rng,
             iterations, c, simulate_round_limit, dirichlet_alpha,

@@ -17,6 +17,7 @@ sequential learn/self_play (alpha_no_parallel.rs:7-84) — set
 from __future__ import annotations
 
 import json
+import os
 import uuid
 from pathlib import Path
 from typing import Optional
@@ -30,6 +31,7 @@ from die_e_tpu.nets.resnet import make_net
 from die_e_tpu.train import checkpoint as ckpt
 from die_e_tpu.train.gating import gate
 from die_e_tpu.train.learner import (
+    compact_memory,
     create_train_state,
     make_optimizer,
     net_eval_fn,
@@ -43,6 +45,15 @@ from die_e_tpu.train.self_play import (
     self_play_hosted,
     trajectory_to_memory,
 )
+
+
+def _write_meta_atomic(path: Path, meta: dict) -> None:
+    """Write the resume cursor atomically (tmp + rename): a kill landing
+    mid-write must never leave a truncated JSON that would crash-loop
+    every subsequent ``--resume`` under the watchdog."""
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_text(json.dumps(meta))
+    os.replace(tmp, path)
 
 
 def learn(
@@ -68,10 +79,12 @@ def learn(
     # (alpha_parallel.rs:85-95 + the offline Train command, SURVEY.md §5)
     meta_path = ckpt.model_dir(env.spec.name, models_base) / "latest_meta.json"
     start_iter = 0
+    pending_gate = None
     if resume and meta_path.exists():
         meta = json.loads(meta_path.read_text())
         run_id = run_id or meta.get("run_id")
         start_iter = int(meta.get("next_learn_iter", 0))
+        pending_gate = meta.get("pending_gate")
     run_id = run_id or uuid.uuid4().hex[:21]
     run_base = Path(data_base) / env.spec.name / f"run-{run_id}"
     run_base.mkdir(parents=True, exist_ok=True)
@@ -89,16 +102,19 @@ def learn(
         params=variables["params"], batch_stats=variables["batch_stats"]
     )
     latest = ckpt.model_dir(env.spec.name, models_base) / "latest_state"
-    if resume and latest.exists():
+    full_resume = resume and latest.exists()
+    if full_resume:
         # full resume incl. optimizer state (the reference rebuilds Adam
         # fresh every run, alphazero.rs:102 — a documented quirk fix)
         state = ckpt.restore_state(latest, state)
         source = f"{latest} (full train state)"
     metrics.log("model_bootstrap", source=source)
     tx = make_optimizer(opt.lr, opt.wd)
-    # inference (self-play search + arena gating) runs the net in bf16 on
-    # TPU (f32 params, bf16 compute — the MXU-native dtype); training stays
-    # f32 (the reference is f32 everywhere, src/lib.rs:20)
+    # inference (self-play search + arena gating) compute dtype: f32 by
+    # default — measured FASTER than explicit bf16 at this model size (XLA
+    # already routes f32 convs through bf16 MXU passes, BASELINE.md round 2)
+    # — with bf16 as the DIE_E_BF16=1 opt-in for larger nets; training
+    # stays f32 (the reference is f32 everywhere, src/lib.rs:20)
     from die_e_tpu.core.mesh import compute_dtype
 
     eval_fn = net_eval_fn(make_net(env.spec, dtype=compute_dtype()))
@@ -157,6 +173,24 @@ def learn(
         obs, ps, outcome = trajectory_to_memory(traj, az.temperature)
         return (obs, ps, outcome, np.asarray(traj.winner), len(obs))
 
+    if pending_gate is not None and full_resume:
+        # the previous run died between committing model_{g}/latest_state
+        # and finishing that iteration's gate (the gate arena is the
+        # longest device window, so the likeliest crash site): run the
+        # missed gate now so every checkpoint challenges best exactly once.
+        # latest_state IS iteration g's state — pending_gate is only ever
+        # written by iteration g's own commit.
+        g = int(pending_gate)
+        metrics.log("gate_resume", learn_iter=g)
+        r_catch = jax.random.fold_in(jax.random.PRNGKey(seed), 0x6A7E + g)
+        gate(
+            env, eval_fn, state.variables, r_catch, mcts_cfg,
+            config.arena, az.temperature, models_base, metrics,
+        )
+        _write_meta_atomic(
+            meta_path, {"run_id": run_id, "next_learn_iter": start_iter}
+        )
+
     if start_iter:
         # keep the resumed run's randomness distinct from a fresh replay of
         # the same seed
@@ -198,6 +232,12 @@ def learn(
                               az.training_batch_size)
             if mesh is None else None
         )
+        # host-loop path: sparsify the iteration's memory ONCE for all
+        # epochs (compact_memory scans the full [N, A] table)
+        compact = (
+            compact_memory(memory.ps, memory.states)
+            if epoch_data is None else None
+        )
         # the pending save (if any) reads buffers train_step will donate
         saver.wait()
         for epoch in range(az.num_epochs):
@@ -214,6 +254,7 @@ def learn(
                         net, tx, state, r_ep, memory.states, memory.ps,
                         memory.outcomes, az.training_batch_size, ms,
                         batch_sharding=data_sh if mesh is not None else None,
+                        compact=compact,
                     )
             metrics.log(
                 "train_epoch",
@@ -229,11 +270,17 @@ def learn(
         model_path_i = ckpt.model_dir(env.spec.name, models_base) / f"model_{l_i}"
         # async: one device fetch feeds model_{i} (inference variables) and
         # latest (full state incl. optimizer); the resume cursor is written
-        # only after the state is durably committed
-        meta_json = json.dumps({"run_id": run_id, "next_learn_iter": l_i + 1})
+        # only after the state is durably committed.  Two-phase: the commit
+        # records pending_gate=l_i, cleared after the gate finishes, so a
+        # crash during the gating arena re-runs that gate on resume instead
+        # of silently skipping it.
+        meta_committed = {
+            "run_id": run_id, "next_learn_iter": l_i + 1, "pending_gate": l_i,
+        }
         saver.save_state(
             state, latest,
-            on_committed=lambda m=meta_json: meta_path.write_text(m),
+            on_committed=lambda m=meta_committed: _write_meta_atomic(
+                meta_path, m),
             extra_variables_path=model_path_i,
         )
         metrics.log("model_saved", learn_iter=l_i, path=str(model_path_i))
@@ -242,6 +289,12 @@ def learn(
         gate(
             env, eval_fn, state.variables, r_gate, mcts_cfg,
             config.arena, az.temperature, models_base, metrics,
+        )
+        # order after the async commit above (wait() is a fast no-op here —
+        # the save overlapped the whole gate arena)
+        saver.wait()
+        _write_meta_atomic(
+            meta_path, {"run_id": run_id, "next_learn_iter": l_i + 1}
         )
     saver.close()
     return state
@@ -280,12 +333,13 @@ def train_offline(
     metrics.log("model_bootstrap", source=source)
     tx = make_optimizer(opt.lr, opt.wd)
 
+    compact = compact_memory(memory.ps, memory.states)  # once for all epochs
     for epoch in range(az.num_epochs):
         rng, r_ep = jax.random.split(rng)
         ms: list = []
         state = train_epoch(
             net, tx, state, r_ep, memory.states, memory.ps, memory.outcomes,
-            az.training_batch_size, ms,
+            az.training_batch_size, ms, compact=compact,
         )
         metrics.log(
             "train_epoch", epoch=epoch,

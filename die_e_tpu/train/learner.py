@@ -155,23 +155,31 @@ def train_step_compact(net, tx, state: TrainState, obs_i8, ps_idx, ps_val,
     return train_step(net, tx, state, obs, ps, outcome, weight)
 
 
-def compact_memory(ps, obs):
-    """Host-side sparsification for the compact train step: returns
-    (obs int8, ps_idx uint16 [N, K], ps_val f32 [N, K]) with K the max
-    row-support rounded up to a multiple of 64 (few distinct jit shapes)."""
+def _obs_int8_exact(obs) -> bool:
+    """True when the tensorizer output is exactly representable as int8
+    (small exact integers, backgammon_logic.rs:198-252)."""
     import numpy as np
 
-    if obs.size and not (
-        np.abs(obs).max() < 127
-        and np.array_equal(obs, np.rint(obs))
-    ):  # tensorizer must emit exact small integers for the int8 transfer
-        return None
+    return bool(obs.size) and bool(
+        np.abs(obs).max() < 127 and np.array_equal(obs, np.rint(obs))
+    )
+
+
+def _sparsify_rows(ps):
+    """CSR-pack the nonzero columns of each probability row: returns
+    (ps_idx uint16 [N, K], ps_val f32 [N, K]) with K the max row-support
+    rounded up to a multiple of 64 (few distinct jit shapes), clamped to
+    the action-space width.  Padding slots point at column 0 with value 0.
+
+    The single sparsification used by BOTH transfer-compaction paths
+    (compact_memory for the per-batch host loop, upload_epoch_data for the
+    device-resident epochs) so the packing semantics cannot drift."""
+    import numpy as np
+
     rows, cols = np.nonzero(ps)
     counts = np.bincount(rows, minlength=ps.shape[0])
     kmax = int(counts.max()) if counts.size else 1
-    k = max(64, ((kmax + 63) // 64) * 64)
-    if k >= ps.shape[1] // 2:  # dense row support: compaction pointless
-        return None
+    k = min(ps.shape[1], max(64, ((kmax + 63) // 64) * 64))
     offsets = np.zeros(len(rows), np.int64)
     if len(rows):
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
@@ -180,12 +188,30 @@ def compact_memory(ps, obs):
     ps_val = np.zeros((ps.shape[0], k), np.float32)
     ps_idx[rows, offsets] = cols.astype(np.uint16)
     ps_val[rows, offsets] = ps[rows, cols]
+    return ps_idx, ps_val
+
+
+def compact_memory(ps, obs):
+    """Host-side sparsification for the compact train step: returns
+    (obs int8, ps_idx uint16 [N, K], ps_val f32 [N, K]), or None when the
+    memory is not compactable (non-int8 observations or near-dense rows) —
+    callers fall back to the dense transfer."""
+    if not _obs_int8_exact(obs):
+        return None
+    import numpy as np
+
+    ps_idx, ps_val = _sparsify_rows(ps)
+    if ps_idx.shape[1] >= ps.shape[1] // 2:  # dense rows: pointless
+        return None
     return obs.astype(np.int8), ps_idx, ps_val
+
+
+_AUTO_COMPACT = object()
 
 
 def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
                 batch_size: int, metrics_out: list | None = None,
-                batch_sharding=None):
+                batch_sharding=None, compact=_AUTO_COMPACT):
     """One shuffled pass over the memory in fixed-size batches; the last
     partial batch is padded with wrapped real samples at zero weight
     (reference shuffles and steps through min-capped slices,
@@ -203,7 +229,11 @@ def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
 
     n = obs.shape[0]
     num_actions = ps.shape[1]
-    compact = compact_memory(ps, obs)
+    if compact is _AUTO_COMPACT:
+        # callers running several epochs over the SAME memory should
+        # sparsify once and pass the result (or None for dense) in —
+        # compact_memory scans the full [N, A] table
+        compact = compact_memory(ps, obs)
     perm = np.asarray(jax.random.permutation(rng, n))
     # metric accumulators stay DEVICE scalars until the epoch ends: a
     # float() per batch is a blocking host round-trip (~25-50 ms on the
@@ -307,25 +337,8 @@ def upload_epoch_data(obs, ps, outcome, batch_size: int,
     if n == 0:
         return None
     num_actions = ps.shape[1]
-    rows, cols = np.nonzero(ps)
-    counts = np.bincount(rows, minlength=n)
-    kmax = int(counts.max()) if counts.size else 1
-    # round K up to a lane multiple for few distinct jit shapes; tiny
-    # action spaces (tictactoe) just use the full row
-    k = min(num_actions, max(64, ((kmax + 63) // 64) * 64))
-    offsets = np.zeros(len(rows), np.int64)
-    if len(rows):
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        offsets = np.arange(len(rows)) - starts[rows]
-    ps_idx = np.zeros((n, k), np.uint16)
-    ps_val = np.zeros((n, k), np.float32)
-    ps_idx[rows, offsets] = cols.astype(np.uint16)
-    ps_val[rows, offsets] = ps[rows, cols]
-
-    obs_small = obs.size and np.abs(obs).max() < 127 and np.array_equal(
-        obs, np.rint(obs)
-    )
-    obs_t = obs.astype(np.int8) if obs_small else obs.astype(np.float32)
+    ps_idx, ps_val = _sparsify_rows(ps)
+    obs_t = obs.astype(np.int8 if _obs_int8_exact(obs) else np.float32)
 
     n_pad = ((n + bucket - 1) // bucket) * bucket
     if n_pad % batch_size:

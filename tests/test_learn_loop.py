@@ -90,3 +90,47 @@ def test_resume_continues_iteration_numbering(tmp_path):
     )
     assert meta["next_learn_iter"] == 2
     assert meta["run_id"] == runs[0].name.removeprefix("run-")
+    # a cleanly finished iteration leaves no pending gate in the cursor
+    assert "pending_gate" not in meta
+
+
+def test_resume_reruns_gate_interrupted_mid_arena(tmp_path):
+    """The cursor commits pending_gate=i with the model_{i} checkpoint and
+    clears it only after the gate finishes; a resume that finds it pending
+    (crash during the gating arena) re-runs that gate instead of silently
+    skipping it."""
+    import json
+
+    config = Config(
+        mcts=MctsConfig(iterations=4, simulate_round_limit=9),
+        alphazero=AlphaZeroConfig(
+            learn_iterations=1, self_play_iterations=1, num_epochs=1,
+            training_batch_size=8, num_self_play_batches=8,
+        ),
+        optimizer=OptimizerParams(),
+        mesh=MeshConfig(data=8, model=1),
+        arena=ArenaConfig(num_games=8, round_limit=9),
+    )
+    kw = dict(data_base=str(tmp_path / "data"),
+              models_base=str(tmp_path / "models"))
+    learn(ttt.ENV, config, seed=0, metrics=Metrics(quiet=True), **kw)
+
+    # simulate a crash between the model_0 commit and the end of its gate:
+    # rewrite the cursor to the state the async commit leaves behind
+    meta_path = tmp_path / "models" / "tictactoe" / "latest_meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["pending_gate"] = 0
+    meta_path.write_text(json.dumps(meta))
+
+    jsonl = tmp_path / "events.jsonl"
+    learn(ttt.ENV, config, seed=0, resume=True,
+          metrics=Metrics(quiet=True, jsonl_path=str(jsonl)), **kw)
+    events = [json.loads(l) for l in jsonl.read_text().splitlines()]
+    names = [e["event"] for e in events]
+    assert "gate_resume" in names
+    # the catch-up gate itself ran and emitted its verdict
+    assert names.index("gate_resume") < names.index("gate")
+    # cursor cleared: no pending gate, numbering unchanged
+    meta = json.loads(meta_path.read_text())
+    assert meta["next_learn_iter"] == 1
+    assert "pending_gate" not in meta
