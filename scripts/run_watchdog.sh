@@ -2,7 +2,11 @@
 # Watchdog for the full-scale backgammon training run (VERDICT round-1
 # item 1).  Relaunches `learn --resume` whenever the process exits —
 # the axon TPU tunnel kills long executions and needs minutes to recover
-# after a crash (CLAUDE.md), so back off before retrying.
+# after a crash (CLAUDE.md), so back off before retrying.  Also detects
+# STALLS: a tunnel crash can leave the client hung (in backend init or a
+# blocked fetch) without ever exiting — if run.log stops growing for
+# STALL_SECS the watchdog kills the exact child PID and relaunches (the
+# learn loop's two-phase resume cursor makes this safe at any point).
 #
 # Usage:  setsid bash scripts/run_watchdog.sh &   (detached; survives the
 # launching session).  PID file: runs/bg_full/watchdog.pid — stop with
@@ -10,6 +14,7 @@
 # in runs/bg_full/learn.pid.  Never kill by pattern.
 set -u
 RUN=/root/repo/runs/bg_full
+STALL_SECS=${STALL_SECS:-900}
 echo $$ > "$RUN/watchdog.pid"
 cd "$RUN"
 while true; do
@@ -22,8 +27,24 @@ while true; do
     python -m die_e_tpu.cli.main -c /root/repo/configs/bg_full.toml \
     -g backgammon --metrics-jsonl ./metrics.jsonl learn --resume \
     >> ./run.log 2>&1 &
-  echo $! > "$RUN/learn.pid"
-  wait $!
+  PID=$!
+  echo $PID > "$RUN/learn.pid"
+  # poll instead of plain `wait`: kill the exact child if the log stalls
+  while kill -0 $PID 2>/dev/null; do
+    sleep 30
+    if [ -f "$RUN/STOP" ]; then
+      break
+    fi
+    last=$(stat -c %Y "$RUN/run.log" 2>/dev/null || echo 0)
+    if [ $(( $(date +%s) - last )) -gt "$STALL_SECS" ]; then
+      echo "[watchdog] no log output for ${STALL_SECS}s; killing hung learn $PID" >> "$RUN/run.log"
+      kill $PID 2>/dev/null
+      sleep 10
+      kill -0 $PID 2>/dev/null && kill -9 $PID 2>/dev/null
+      break
+    fi
+  done
+  wait $PID
   rc=$?
   echo "[watchdog] learn exited rc=$rc at $(date -u +%H:%M:%S)" >> "$RUN/run.log"
   if [ $rc -eq 0 ]; then
