@@ -332,7 +332,7 @@ def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
 
     import numpy as np
 
-    from die_e_tpu.envs.base import compact_take, compaction_plan
+    from die_e_tpu.envs.base import CompactionTracker, compact_take, compaction_plan
     from die_e_tpu.train.self_play import _chunk_winner
 
     compact = os.environ.get("DIE_E_ARENA_COMPACT", "0") == "1"
@@ -341,25 +341,20 @@ def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
     rng, r_seed = jax.random.split(rng)
     states = _init_match(env, r_seed, num_games)
     done = jax.vmap(env.done)(states)
-    orig = np.arange(num_games)
-    done_acc = np.zeros(num_games, bool)
-    winner_acc = np.zeros(num_games, np.int32)
+    tracker = CompactionTracker(num_games)
 
     total = 0
     while total < round_limit:
         done_h = np.asarray(done)
         if compact:
-            win_h = np.asarray(_chunk_winner(env, states, done))
-            done_acc[orig] |= done_h
-            fin = np.nonzero(done_h)[0]
-            winner_acc[orig[fin]] = win_h[fin]
+            tracker.merge(done_h, np.asarray(_chunk_winner(env, states, done)))
         if done_h.all():
             break
         if compact:
             idx = compaction_plan(done_h, min_batch)
             if idx is not None:
                 states, done = compact_take(states, done, jnp.asarray(idx))
-                orig = orig[idx]
+                tracker.take(idx)
         rounds = min(_arena_chunk_rounds(), round_limit - total)
         states, done, rng, ran = _match_rounds(
             env, eval_fn, kind1, kind2, vars1, vars2, states, done, rng,
@@ -370,12 +365,9 @@ def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
         total += int(ran)
     # live games at the limit are draws (versus.rs:231-234)
     if compact:
-        done_h = np.asarray(done)
-        win_h = np.asarray(_chunk_winner(env, states, done))
-        done_acc[orig] |= done_h
-        fin = np.nonzero(done_h)[0]
-        winner_acc[orig[fin]] = win_h[fin]
-        winner = jnp.asarray(np.where(done_acc, winner_acc, 0))
+        tracker.merge(np.asarray(done),
+                      np.asarray(_chunk_winner(env, states, done)))
+        winner = jnp.asarray(tracker.final_winner())
     else:
         winner = jnp.where(done, jax.vmap(env.winner)(states), 0)
     return winner, total
@@ -399,7 +391,7 @@ def _play_match_mcts_hosted(env, eval_fn, kind1, kind2, vars1, vars2, rng,
 
     import numpy as np
 
-    from die_e_tpu.envs.base import compact_take, compaction_plan
+    from die_e_tpu.envs.base import CompactionTracker, compact_take, compaction_plan
     from die_e_tpu.train.self_play import _chunk_winner
 
     compact = os.environ.get("DIE_E_ARENA_COMPACT", "0") == "1"
@@ -410,18 +402,13 @@ def _play_match_mcts_hosted(env, eval_fn, kind1, kind2, vars1, vars2, rng,
     rng, r_seed = jax.random.split(rng)
     states = _init_match(env, r_seed, num_games)
     done = jax.vmap(env.done)(states)
-    orig = np.arange(num_games)
-    done_acc = np.zeros(num_games, bool)
-    winner_acc = np.zeros(num_games, np.int32)
+    tracker = CompactionTracker(num_games)
 
     def merge_and_plan():
         done_h = np.asarray(done)
         if not compact:
             return done_h.all(), None
-        win_h = np.asarray(_chunk_winner(env, states, done))
-        done_acc[orig] |= done_h
-        fin = np.nonzero(done_h)[0]
-        winner_acc[orig[fin]] = win_h[fin]
+        tracker.merge(done_h, np.asarray(_chunk_winner(env, states, done)))
         return done_h.all(), compaction_plan(done_h, min_batch)
 
     def actions_for(kind, variables, r):
@@ -446,7 +433,7 @@ def _play_match_mcts_hosted(env, eval_fn, kind1, kind2, vars1, vars2, rng,
             break
         if idx is not None:
             states, done = compact_take(states, done, jnp.asarray(idx))
-            orig = orig[idx]
+            tracker.take(idx)
         rng, r = jax.random.split(rng)
         # mirror _round_actions' rng usage: shared draw for identical
         # kinds, split for mixed pairs
@@ -462,7 +449,7 @@ def _play_match_mcts_hosted(env, eval_fn, kind1, kind2, vars1, vars2, rng,
         total += 1
     if compact:
         merge_and_plan()
-        winner = jnp.asarray(np.where(done_acc, winner_acc, 0))
+        winner = jnp.asarray(tracker.final_winner())
     else:
         winner = jnp.where(done, jax.vmap(env.winner)(states), 0)
     return winner, total

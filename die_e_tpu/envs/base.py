@@ -77,6 +77,55 @@ def compaction_plan(done_h, min_batch: int):
     return np.concatenate([live_idx, fill]).astype(np.int32)
 
 
+class CompactionTracker:
+    """Per-ORIGINAL-game done/winner bookkeeping for hosted drivers that
+    re-pack live games at chunk boundaries (:func:`compaction_plan` +
+    :func:`compact_take`).
+
+    A compacted batch carries only the re-packed games, so a finished
+    game's winner must be recorded BEFORE a compaction can drop it.  The
+    one protocol shared by the hosted self-play and arena drivers:
+
+    * ``merge(done_h, winner_h, gmap)`` folds a fetched chunk's done mask
+      and winners — expressed in that chunk's game mapping ``gmap``
+      (defaults to the current mapping ``orig``) — into the accumulators;
+    * ``take(idx)`` applies a compaction plan to the mapping (the caller
+      applies the same ``idx`` to its device batch via compact_take);
+    * ``current_done()`` projects accumulated done onto the current
+      mapping (for planning against chunk-stale knowledge: done only
+      grows, so every live game is kept);
+    * ``final_winner()`` projects the accumulated winners back onto the
+      original batch — 0 where never finished (round-limit draws,
+      versus.rs:231-234 semantics).
+    """
+
+    def __init__(self, num_games: int):
+        import numpy as np
+
+        self.orig = np.arange(num_games)
+        self._done = np.zeros(num_games, bool)
+        self._winner = np.zeros(num_games, np.int32)
+
+    def merge(self, done_h, winner_h, gmap=None) -> None:
+        import numpy as np
+
+        gmap = self.orig if gmap is None else gmap
+        self._done[gmap] |= done_h
+        fin = np.nonzero(done_h)[0]
+        self._winner[gmap[fin]] = winner_h[fin]
+
+    def take(self, idx) -> None:
+        self.orig = self.orig[idx]
+
+    def current_done(self):
+        return self._done[self.orig]
+
+    def final_winner(self):
+        import numpy as np
+
+        return np.where(self._done, self._winner, 0).astype(np.int32)
+
+
 @dataclasses.dataclass(frozen=True)
 class GameSpec:
     """Static per-game constants (reference src/base.rs:17-24).

@@ -39,7 +39,12 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from die_e_tpu.envs.base import compact_take, compaction_plan, freeze_where
+from die_e_tpu.envs.base import (
+    CompactionTracker,
+    compact_take,
+    compaction_plan,
+    freeze_where,
+)
 from die_e_tpu.search.alpha import alpha_search, sample_action
 
 
@@ -323,14 +328,7 @@ def self_play_hosted(
     # per-original-game winner/done accumulators: games dropped by a
     # compaction have already finished, so their winner is recorded from
     # the chunk fetch before they can be dropped
-    orig = np.arange(batch_size)
-    done_acc = np.zeros(batch_size, bool)
-    winner_acc = np.zeros(batch_size, np.int32)
-
-    def _merge_winners(done_h, winner_h, gmap):
-        done_acc[gmap] |= done_h
-        fin = np.nonzero(done_h)[0]
-        winner_acc[gmap[fin]] = winner_h[fin]
+    tracker = CompactionTracker(batch_size)
 
     def _process(chunk):
         """Fetch + valid-filter one chunk's buffers; returns the fetched
@@ -347,7 +345,7 @@ def self_play_hosted(
         frags_gidx.append(np.tile(gmap, r)[valid_h])
         done_h = np.asarray(done)
         if winner is not None:
-            _merge_winners(done_h, np.asarray(winner), gmap)
+            tracker.merge(done_h, np.asarray(winner), gmap)
         return done_h
 
     # 1-deep dispatch pipeline: chunk k+1 is dispatched (chained purely on
@@ -374,7 +372,7 @@ def self_play_hosted(
             except AttributeError:  # pragma: no cover - non-jax arrays
                 pass
         t += rounds
-        chunk = (obs, qprobs, player, valid, done, winner_dev, orig)
+        chunk = (obs, qprobs, player, valid, done, winner_dev, tracker.orig)
         if pending is not None:
             done_h = _process(pending)
             if done_h.all():
@@ -390,10 +388,10 @@ def self_play_hosted(
                 # chunk's mapping — project it through the per-original-
                 # game accumulator onto the CURRENT mapping.  The gather
                 # chains on the in-flight device handles, no sync.
-                idx = compaction_plan(done_acc[orig], min_batch)
+                idx = compaction_plan(tracker.current_done(), min_batch)
                 if idx is not None:
                     states, done = compact_take(states, done, jnp.asarray(idx))
-                    orig = orig[idx]
+                    tracker.take(idx)
         pending = chunk
     if pending is not None:
         _process(pending)
@@ -403,8 +401,8 @@ def self_play_hosted(
         jnp.where(done, jax.vmap(env.winner)(states), 0)
     )
     if compact:
-        _merge_winners(done_fin, winner_fin, orig)
-        winner = np.where(done_acc, winner_acc, 0).astype(winner_fin.dtype)
+        tracker.merge(done_fin, winner_fin)
+        winner = tracker.final_winner().astype(winner_fin.dtype)
     else:
         winner = winner_fin
     obs = np.concatenate(frags_obs) if frags_obs else np.zeros(
