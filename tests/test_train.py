@@ -310,6 +310,39 @@ class TestSelfPlay:
         np.testing.assert_array_equal(
             np.asarray(taken.board), np.asarray(states.board)[[1, 3]])
 
+    def test_compaction_tracker(self):
+        """CompactionTracker: winners recorded before a compaction drops a
+        game survive the re-mapping; never-finished games are draws (0)."""
+        from die_e_tpu.envs.base import CompactionTracker, compaction_plan
+
+        tr = CompactionTracker(8)
+        # chunk 1 (full mapping): games 0 and 5 finish
+        done = np.array([True, False, False, False, False, True, False, False])
+        winner = np.array([1, 0, 0, 0, 0, -1, 0, 0], np.int32)
+        tr.merge(done, winner)
+        np.testing.assert_array_equal(tr.current_done(), done)
+        # compact to the 6 live games -> pow2 8? plan says shrink to... 6->8
+        # not worthwhile at b=8; force a take of the live games + 2 fills
+        idx = np.array([1, 2, 3, 4, 6, 7, 0, 5], np.int32)
+        tr.take(idx)
+        # chunk 2 (compacted mapping): slots 0,1,2 (orig 1,2,3) finish
+        done2 = np.zeros(8, bool)
+        done2[[0, 1, 2]] = True
+        done2[6] = True  # fill slot for orig game 0: done stays true
+        win2 = np.zeros(8, np.int32)
+        win2[[0, 1, 2]] = [-1, 1, -1]
+        win2[6] = 1
+        tr.merge(done2, win2)
+        final = tr.final_winner()
+        # orig 0/5 won in chunk 1 (+1/-1), orig 1/2/3 in chunk 2 (-1/+1/-1),
+        # everything else never finished -> 0 (round-limit draw)
+        np.testing.assert_array_equal(final, [1, -1, 1, -1, 0, -1, 0, 0])
+        # a stale-done projection keeps every live game (orig 4 in slot 3)
+        assert not tr.current_done()[3]
+        # and compaction_plan on it packs live-first
+        plan = compaction_plan(tr.current_done(), min_batch=2)
+        assert plan is not None and not tr.current_done()[plan[0]]
+
 
 class TestCheckpoint:
     def test_variables_roundtrip(self, tmp_path):
