@@ -528,6 +528,11 @@ def play(
                 env, eval_fn, player1.kind, player2.kind,
                 player1.variables, player2.variables, states, r,
                 *search_args,
+                # same match semantics as the unrecorded paths: without
+                # these a recorded MCTS opponent silently played
+                # full-depth, unchunked rollouts
+                rollout_limit=mcts_rollout_limit,
+                search_chunk=mcts_search_chunk,
             )
             roll = (
                 np.asarray(states.roll) if hasattr(states, "roll") else None

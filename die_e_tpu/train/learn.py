@@ -180,6 +180,13 @@ def learn(
         # missed gate now so every checkpoint challenges best exactly once.
         # latest_state IS iteration g's state — pending_gate is only ever
         # written by iteration g's own commit.
+        # At-least-once gate semantics: a kill between the async cursor
+        # commit (pending_gate=g) and the post-gate cursor write re-runs a
+        # gate that may already have finished, with a DIFFERENT rng
+        # (r_catch, not the original r_gate) — metrics.jsonl can then show
+        # two gate events for one iteration, and after a promotion the
+        # re-run gates the model against itself (a no-op at the 0.55
+        # threshold: self-play winrate ~0.5 keeps best).
         g = int(pending_gate)
         metrics.log("gate_resume", learn_iter=g)
         r_catch = jax.random.fold_in(jax.random.PRNGKey(seed), 0x6A7E + g)
@@ -195,9 +202,12 @@ def learn(
         # keep the resumed run's randomness distinct from a fresh replay of
         # the same seed
         rng = jax.random.fold_in(rng, start_iter)
-    # checkpoint writes overlap the gating arena + next self-play phase; on
-    # an abnormal exit the non-daemon worker thread still completes the
-    # pending write before the interpreter exits
+    # checkpoint writes overlap the gating arena + next self-play phase.
+    # The non-daemon worker thread only finishes a pending write on
+    # PYTHON-level exits (exceptions, sys.exit); SIGTERM/SIGKILL (watchdog
+    # stall-kill, pause_run.sh) terminate mid-write — what makes signal
+    # kills safe is the two-phase cursor: latest_meta.json is written only
+    # from on_committed, so a torn latest_state is never resumed from.
     saver = ckpt.AsyncSaver()
     for l_i in range(start_iter, az.learn_iterations):
         lrn_path = run_base / f"lrn-{l_i}"
@@ -211,16 +221,28 @@ def learn(
             frag = Memory(states=obs, ps=ps, outcomes=outcome)
             memory = Memory.concat([memory, frag])
             save_training_data(frag, lrn_path / f"sp-{sp_i}")
+            # CE-floor diagnosis: the policy cross-entropy can never fall
+            # below the mean entropy of its MCTS visit-count targets
+            # (CE = H(target) + KL), so a "plateaued" policy loss must be
+            # read against this floor before concluding learning stalled
+            p = frag.ps
+            target_entropy = float(np.mean(-np.sum(
+                np.where(p > 0, p * np.log(np.maximum(p, 1e-12)), 0.0),
+                axis=-1,
+            ))) if len(frag) else 0.0
             metrics.log(
                 "self_play",
                 learn_iter=l_i,
                 sp_iter=sp_i,
                 fragments=len(frag),
+                # moves == valid fragment count (skip-turn rounds excluded);
+                # pre-round-2 curve entries counted raw rounds played
                 moves_per_s=moves / max(t.elapsed, 1e-9),
                 sims_per_s=moves * mcts_cfg.iterations / max(t.elapsed, 1e-9),
                 wins_m1=int(np.sum(winner == -1)),
                 wins_p1=int(np.sum(winner == 1)),
                 draws=int(np.sum(winner == 0)),
+                target_entropy=target_entropy,
             )
 
         # single-device: move the iteration's memory to the chip ONCE and
@@ -283,6 +305,8 @@ def learn(
                 meta_path, m),
             extra_variables_path=model_path_i,
         )
+        # marks SUBMISSION of the async save, not durability — the durable
+        # commit is the on_committed cursor write above
         metrics.log("model_saved", learn_iter=l_i, path=str(model_path_i))
 
         rng, r_gate = jax.random.split(rng)
