@@ -2,6 +2,7 @@ from die_e_tpu.search.tree import (
     Tree,
     init_tree,
     backprop,
+    backprop_path,
     root_q_values,
     root_visit_probs,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "Tree",
     "init_tree",
     "backprop",
+    "backprop_path",
     "root_q_values",
     "root_visit_probs",
     "alpha_search",

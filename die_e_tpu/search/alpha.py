@@ -49,10 +49,11 @@ from die_e_tpu.ops.rows import scatter_rows
 from die_e_tpu.search.tree import (
     Tree,
     allocate,
-    backprop,
+    backprop_path,
     children_of,
     init_tree,
     node_field,
+    node_onehot,
     prior_row,
     root_visit_probs,
     set_prior_row,
@@ -100,6 +101,11 @@ def select_and_allocate(tree: Tree, env, root_states, c: float,
     The current state is CARRIED down the descent and re-stepped with the
     traversed action each level (env.step is deterministic, so this
     reproduces the node's state exactly); the tree stores no states.
+
+    Also returns the [B, N] boolean PATH mask of every node visited on the
+    descent (root included) so the caller can backprop with one vectorized
+    update (tree.backprop_path) instead of re-walking the parent chain.
+    The ``active`` flag is carried rather than recomputed in ``cond``.
     """
     cur0 = jnp.zeros((tree.batch_size,), jnp.int32)
 
@@ -107,12 +113,11 @@ def select_and_allocate(tree: Tree, env, root_states, c: float,
         return node_field(tree, tree.expanded.astype(jnp.int32), cur) > 0
 
     def cond(carry):
-        tree, cur, _ = carry
-        return jnp.any(expanded_at(tree, cur))
+        _, _, _, _, active = carry
+        return jnp.any(active)
 
     def body(carry):
-        tree, cur, cur_state = carry
-        active = expanded_at(tree, cur)
+        tree, cur, cur_state, path, active = carry
         p_row = prior_row(tree, cur)                       # [B, A]
         vc = node_field(tree, tree.visits, cur)            # [B]
         explore = c * jnp.sqrt(vc)
@@ -179,9 +184,16 @@ def select_and_allocate(tree: Tree, env, root_states, c: float,
         nxt = jnp.where(choose_new, new_idx, best_n)
         cur = jnp.where(active, nxt, cur)
         cur_state = freeze_where(~active, cur_state, next_state)
-        return tree, cur, cur_state
+        path = path | (node_onehot(tree, cur) & active[:, None])
+        active = active & expanded_at(tree, cur)
+        return tree, cur, cur_state, path, active
 
-    return jax.lax.while_loop(cond, body, (tree, cur0, root_states))
+    path0 = node_onehot(tree, cur0)  # root is always on the backprop chain
+    active0 = expanded_at(tree, cur0)
+    tree, cur, cur_state, path, _ = jax.lax.while_loop(
+        cond, body, (tree, cur0, root_states, path0, active0)
+    )
+    return tree, cur, cur_state, path
 
 
 def expand(tree: Tree, leaf, prior_rows, mask) -> Tree:
@@ -229,7 +241,7 @@ def alpha_search(
 
     # --- search loop: one batched NN call per iteration
     def body(_, tree):
-        tree, leaf, leaf_states = select_and_allocate(
+        tree, leaf, leaf_states, path = select_and_allocate(
             tree, env, states, c, root_player if negamax else None
         )
         obs = jax.vmap(env.observe)(leaf_states)
@@ -251,7 +263,7 @@ def alpha_search(
             nn_v = nn_v * (leaf_player * root_player).astype(jnp.float32)
         v = jnp.where(is_term, term_val, nn_v)
         tree = expand(tree, leaf, prior_rows, ~is_term)
-        return backprop(tree, leaf, v)
+        return backprop_path(tree, path, v)
 
     tree = jax.lax.fori_loop(0, iterations, body, tree)
     root_v = tree.value_sum[:, 0] / jnp.maximum(tree.visits[:, 0], 1e-9)

@@ -43,10 +43,11 @@ from die_e_tpu.envs.base import freeze_where
 from die_e_tpu.search.tree import (
     Tree,
     allocate,
-    backprop,
+    backprop_path,
     children_of,
     init_tree,
     node_field,
+    node_onehot,
     prior_row,
     root_q_values,
     root_visit_probs,
@@ -64,7 +65,9 @@ def _select_leaf(tree: Tree, env, root_states, c: float, root_player):
     """Descend by UCB1 until a node with unexpanded moves (or terminal).
     All scoring happens on [B, N] node arrays via the parent==cur match;
     the current state is carried and re-stepped per level (the tree stores
-    no states — see tree.py).  Returns (leaf_idx [B], leaf_states)."""
+    no states — see tree.py).  Returns (leaf_idx [B], leaf_states,
+    path [B, N]) where ``path`` flags every node on the root->leaf descent
+    for the one-shot vectorized backprop (tree.backprop_path)."""
     cur0 = jnp.zeros((tree.batch_size,), jnp.int32)
 
     def fully_expanded(tree, cur):
@@ -74,12 +77,11 @@ def _select_leaf(tree: Tree, env, root_states, c: float, root_player):
         return (nl > 0) & (ne >= nl) & (~done)
 
     def cond(carry):
-        cur, _ = carry
-        return jnp.any(fully_expanded(tree, cur))
+        _, _, _, active = carry
+        return jnp.any(active)
 
     def body(carry):
-        cur, cur_state = carry
-        active = fully_expanded(tree, cur)
+        cur, cur_state, path, active = carry
         cur_player = node_field(tree, tree.node_player, cur)
         sign = (cur_player == root_player).astype(jnp.float32) * 2.0 - 1.0
         pv = jnp.maximum(node_field(tree, tree.visits, cur), 1.0)
@@ -94,9 +96,16 @@ def _select_leaf(tree: Tree, env, root_states, c: float, root_player):
         next_state = jax.vmap(env.step)(cur_state, act_n)
         cur = jnp.where(active, nxt, cur)
         cur_state = freeze_where(~active, cur_state, next_state)
-        return cur, cur_state
+        path = path | (node_onehot(tree, cur) & active[:, None])
+        active = active & fully_expanded(tree, cur)
+        return cur, cur_state, path, active
 
-    return jax.lax.while_loop(cond, body, (cur0, root_states))
+    path0 = node_onehot(tree, cur0)  # root is always on the backprop chain
+    active0 = fully_expanded(tree, cur0)
+    cur, cur_state, path, _ = jax.lax.while_loop(
+        cond, body, (cur0, root_states, path0, active0)
+    )
+    return cur, cur_state, path
 
 
 def _next_expand_action(tree: Tree, cur):
@@ -147,7 +156,7 @@ def _iteration_body(env, c, sim_limit, player, root_states, carry):
     simple_mcts.rs:10-39) over the carried (tree, rng)."""
     tree, rng = carry
     rng, r_expand = jax.random.split(rng)
-    leaf, leaf_states = _select_leaf(tree, env, root_states, c, player)
+    leaf, leaf_states, path = _select_leaf(tree, env, root_states, c, player)
     is_term = node_field(tree, tree.node_done.astype(jnp.int32), leaf) > 0
     w = node_field(tree, tree.node_winner, leaf)
     term_val = jnp.where(w == player, 1.0, jnp.where(w == -player, -1.0, 0.0))
@@ -175,8 +184,10 @@ def _iteration_body(env, c, sim_limit, player, root_states, carry):
     # evaluate: rollout from the new child, or terminal value at leaf
     sim_val = _rollout(env, new_states, r_expand, player, sim_limit)
     value = jnp.where(is_term, term_val, sim_val)
-    start = jnp.where(do_expand, new_idx, leaf)
-    tree = backprop(tree, start, value)
+    # backprop chain = the select path, plus the freshly expanded child
+    # where one was created (it heads the chain, node.rs:118-137 semantics)
+    oh_new = node_onehot(tree, new_idx) & do_expand[:, None]
+    tree = backprop_path(tree, path | oh_new, value)
     return tree, rng
 
 

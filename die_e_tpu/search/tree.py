@@ -245,6 +245,24 @@ def backprop(tree: Tree, leaf_idx, value, mask=None) -> Tree:
     return tree.replace(visits=visits, value_sum=value_sum)
 
 
+def backprop_path(tree: Tree, path, value) -> Tree:
+    """Add ``value`` and one visit to every node flagged in ``path`` [B, N].
+
+    The select loops already walk the root->leaf chain, so they record it as
+    a boolean path mask for free; backprop is then ONE vectorized update
+    instead of a second O(depth) leaf->root ``while_loop`` (the round-2
+    profile attributed ~40% of non-NN search time to that second walk).
+    Identical semantics to :func:`backprop` — the reference adds the SAME
+    value at every level, no sign alternation (src/mcts/simple_mcts.rs:96-103)
+    — because a select descent visits each chain node exactly once.
+    """
+    pf = path.astype(tree.visits.dtype)
+    return tree.replace(
+        visits=tree.visits + pf,
+        value_sum=tree.value_sum + value[:, None] * pf,
+    )
+
+
 def root_visit_probs(tree: Tree) -> jnp.ndarray:
     """[B, A] root-children visit-count distribution (reference
     get_prob_tensor_parallel, src/mcts/utils.rs:42-58).  All-zero rows mean
