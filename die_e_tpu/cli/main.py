@@ -7,9 +7,14 @@ same four subcommands and global flags:
 * ``--game`` / ``-g``: backgammon | tictactoe (main.rs:23-25)
 * the reference's ``--n-cpus`` (main.rs:27-29, rayon pool sizing) becomes
   the TPU topology flags ``--mesh-data`` / ``--mesh-model`` (SURVEY.md
-  section 2 row 22).
+  section 2 row 22) plus the multi-host launch flags ``--coordinator`` /
+  ``--num-processes`` / ``--process-id``: run the SAME command on every
+  host of a pod and the learn loop distributes itself (jax.distributed;
+  the reference is strictly single-process, src/lib.rs:22-30).
 
 Usage:  python -m die_e_tpu.cli.main -g backgammon learn
+Pod:    python -m die_e_tpu.cli.main --coordinator host0:1234 \
+            --num-processes 4 --process-id $I -g backgammon learn
 """
 
 from __future__ import annotations
@@ -69,6 +74,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="devices on the data axis (-1 = all)")
     p.add_argument("--mesh-model", type=int, default=None,
                    help="devices on the model axis")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator address host:port "
+                        "(jax.distributed); also via JAX_COORDINATOR_ADDRESS")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this host's process index")
+    p.add_argument("--platform", default=None,
+                   help="force the JAX platform (cpu|tpu); overrides any "
+                        "sitecustomize-registered PJRT plugin, unlike the "
+                        "JAX_PLATFORMS env var")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--metrics-jsonl", default=None,
                    help="append structured metric events to this JSONL file "
@@ -111,8 +127,23 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # platform + cluster join must precede the first backend use
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from die_e_tpu.parallel.multihost import initialize_multihost
+
+    initialize_multihost(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
     from die_e_tpu.core.config import load_config
     from die_e_tpu.core.metrics import Metrics
+
+    # multi-process: every host logs, but to its own file — concurrent
+    # appends from several processes would interleave mid-line
+    if args.metrics_jsonl and jax.process_index() != 0:
+        args.metrics_jsonl = f"{args.metrics_jsonl}.p{jax.process_index()}"
 
     config = load_config(args.config)
     if args.mesh_data is not None or args.mesh_model is not None:

@@ -72,3 +72,60 @@ def global_array_from_local(mesh, local_batch_tree):
         lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
         local_batch_tree,
     )
+
+
+def put_global_batch(mesh, batch_tree):
+    """Place HOST-REPLICATED [B, ...] arrays (every process holds the same
+    full value) as global arrays sharded over the mesh's data axis.
+
+    The multi-process learn loop trains every host on the IDENTICAL global
+    memory (see :func:`allgather_memory`), so each process simply uploads
+    the contiguous row range its own devices cover; XLA then runs the SGD
+    step data-parallel with a global gradient all-reduce.  Requires B to be
+    divisible by the process count (training batches are fixed-size)."""
+    h = jax.process_count()
+    i = jax.process_index()
+
+    def put(x):
+        x = np.asarray(x)
+        if x.shape[0] % h:
+            raise ValueError(
+                f"batch rows {x.shape[0]} not divisible by {h} processes"
+            )
+        per = x.shape[0] // h
+        return global_array_from_local(mesh, x[i * per:(i + 1) * per])
+
+    return jax.tree_util.tree_map(put, batch_tree)
+
+
+def allgather_memory(*host_arrays):
+    """All-gather variable-length host-local fragment arrays across
+    processes; every process returns the identical concatenation in process
+    order (the global replay memory of the reference's learn loop,
+    alpha_parallel.rs:48-62, rebuilt host-sharded: each host's actors
+    produce a slice, the learner trains on the union).
+
+    Fragment counts differ per host (games have different lengths), so each
+    array is padded to the max count before the collective and trimmed
+    after.  Rides the jax.distributed backend (gloo on CPU, DCN on a pod).
+    """
+    from jax.experimental import multihost_utils
+
+    counts = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray([host_arrays[0].shape[0]], np.int64)
+        )
+    ).reshape(-1)
+    n_max = int(counts.max()) if counts.size else 0
+    out = []
+    for x in host_arrays:
+        x = np.asarray(x)
+        pad = np.zeros((n_max - x.shape[0],) + x.shape[1:], x.dtype)
+        stacked = multihost_utils.process_allgather(
+            np.concatenate([x, pad]) if n_max > x.shape[0] else x
+        )  # [H, n_max, ...]
+        stacked = np.asarray(stacked)
+        out.append(
+            np.concatenate([stacked[h, : counts[h]] for h in range(len(counts))])
+        )
+    return tuple(out)

@@ -25,7 +25,22 @@ from die_e_tpu.train.learner import TrainState
 
 
 def _ckptr():
-    return ocp.PyTreeCheckpointer()
+    # Process-LOCAL checkpointer.  Orbax's default Checkpointer wraps
+    # save/restore in a GLOBAL process barrier, which deadlocks — or worse,
+    # collides with unrelated in-flight collectives (observed as a gloo
+    # "Received data size doesn't match expected size" abort) — whenever
+    # only a subset of a multi-process run checkpoints: the gate and the
+    # learn loop's saver run on process 0 only.  Every tree here is plain
+    # host numpy (device_get before save), so reads and writes need no
+    # cross-process coordination at all; scoping the barrier to this
+    # process alone makes save/restore safe from any process at any time.
+    i = jax.process_index()
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=i, active_processes={i},
+            barrier_sync_key_prefix=f"p{i}"),
+    )
 
 
 def save_state(state: TrainState, path) -> None:

@@ -72,6 +72,29 @@ def learn(
         metrics = Metrics()
     az, mcts_cfg, opt = config.alphazero, config.mcts, config.optimizer
 
+    # multi-host: the SAME learn() runs on every process of the cluster
+    # (cli --coordinator/--num-processes/--process-id).  Actors are
+    # host-sharded (each host self-plays its deterministic slice of the
+    # global game set on its local devices), the replay memory is
+    # all-gathered so every host trains on the identical global batches,
+    # and the SGD step is data-parallel over the GLOBAL mesh with an XLA
+    # gradient all-reduce.  Only process 0 touches the filesystem
+    # (checkpoints, gate, resume cursor, training-data dumps).
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    is_main = pid == 0
+    if nproc > 1:
+        if az.num_self_play_batches % nproc:
+            raise ValueError(
+                f"num_self_play_batches={az.num_self_play_batches} not "
+                f"divisible by {nproc} processes"
+            )
+        if az.training_batch_size % nproc:
+            raise ValueError(
+                f"training_batch_size={az.training_batch_size} not "
+                f"divisible by {nproc} processes"
+            )
+
     # resume cursor: models/{game}/latest_meta.json records the run id and
     # the next learn iteration so a killed run continues its numbering
     # (data dirs, model_{i} names, learning-curve indices) — the recovery
@@ -86,8 +109,17 @@ def learn(
         start_iter = int(meta.get("next_learn_iter", 0))
         pending_gate = meta.get("pending_gate")
     run_id = run_id or uuid.uuid4().hex[:21]
+    if nproc > 1:
+        # one run identity for the whole cluster (process 0's draw wins);
+        # every process participates, so this is also the startup barrier
+        # that keeps a fresh run's processes in collective lockstep
+        from jax.experimental.multihost_utils import broadcast_one_to_all
+
+        raw = np.frombuffer(run_id.encode().ljust(21)[:21], np.uint8)
+        run_id = bytes(np.asarray(broadcast_one_to_all(raw))).decode().strip()
     run_base = Path(data_base) / env.spec.name / f"run-{run_id}"
-    run_base.mkdir(parents=True, exist_ok=True)
+    if is_main:
+        run_base.mkdir(parents=True, exist_ok=True)
     metrics.log("run_start", run_id=run_id, game=env.spec.name,
                 start_iter=start_iter)
 
@@ -131,18 +163,65 @@ def learn(
 
         mesh = make_mesh(config.mesh.data, config.mesh.model)
         data_sh, repl = batch_sharding(mesh), replicated(mesh)
+        # via host numpy: multi-process device_put accepts host arrays for
+        # shardings that span non-addressable devices (every process holds
+        # the identical state — same seed / same restored checkpoint)
         state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, repl), state
+            lambda x: jax.device_put(np.asarray(x), repl), state
         )
         metrics.log("mesh", devices=len(jax.devices()),
                     data=mesh.shape["data"], model=mesh.shape["model"])
+
+    def host_variables(variables):
+        """Process-LOCAL copy of the (replicated) inference variables for
+        computations one process runs alone on its own devices — the
+        host-sharded self-play actors and the process-0 gate arena.
+        Passing global-mesh arrays into a jit that only SOME processes
+        execute would hang the cluster: every process must participate in
+        a global-mesh computation.  np.asarray is legal cross-process here
+        because replicated arrays are fully replicated."""
+        if nproc == 1:
+            return variables
+        return jax.tree_util.tree_map(np.asarray, variables)
 
     def run_self_play(variables, r_sp):
         """Returns (obs, ps, outcome, winner [B], n_fragments).
 
         Single-device: chunked host driver (bounded per-program duration
-        and memory, incremental fragment fetch).  Multi-device mesh: the
-        fully fused sharded program."""
+        and memory, incremental fragment fetch).  Multi-process: host-
+        sharded actors + all-gathered memory.  Single-process multi-device
+        mesh: the fully fused sharded program."""
+        if nproc > 1:
+            from die_e_tpu.parallel.multihost import allgather_memory
+
+            # the global game set is derived from the shared rng stream, so
+            # it is identical regardless of host count; each host plays its
+            # contiguous slice with a host-distinct loop rng
+            r_sp, r_seed = jax.random.split(r_sp)
+            global_seeds = np.asarray(
+                jax.random.randint(
+                    r_seed, (az.num_self_play_batches,), 0, 2**31 - 1
+                )
+            ).astype(np.uint32)
+            per = az.num_self_play_batches // nproc
+            local_seeds = global_seeds[pid * per:(pid + 1) * per]
+            obs, ps, outcome, winner_l, _ = self_play_hosted(
+                env, eval_fn, host_variables(variables),
+                jax.random.fold_in(r_sp, pid),
+                batch_size=per,
+                iterations=mcts_cfg.iterations,
+                c=mcts_cfg.c,
+                dirichlet_alpha=mcts_cfg.dirichlet_alpha,
+                dirichlet_epsilon=mcts_cfg.dirichlet_epsilon,
+                temperature=az.temperature,
+                round_limit=mcts_cfg.simulate_round_limit,
+                negamax=mcts_cfg.negamax,
+                init_seeds=local_seeds,
+            )
+            obs, ps, outcome, winner = allgather_memory(
+                obs, ps, outcome, np.asarray(winner_l)
+            )
+            return obs, ps, outcome, winner, len(obs)
         if mesh is None:
             return self_play_hosted(
                 env, eval_fn, variables, r_sp,
@@ -173,7 +252,7 @@ def learn(
         obs, ps, outcome = trajectory_to_memory(traj, az.temperature)
         return (obs, ps, outcome, np.asarray(traj.winner), len(obs))
 
-    if pending_gate is not None and full_resume:
+    if pending_gate is not None and full_resume and is_main:
         # the previous run died between committing model_{g}/latest_state
         # and finishing that iteration's gate (the gate arena is the
         # longest device window, so the likeliest crash site): run the
@@ -191,7 +270,7 @@ def learn(
         metrics.log("gate_resume", learn_iter=g)
         r_catch = jax.random.fold_in(jax.random.PRNGKey(seed), 0x6A7E + g)
         gate(
-            env, eval_fn, state.variables, r_catch, mcts_cfg,
+            env, eval_fn, host_variables(state.variables), r_catch, mcts_cfg,
             config.arena, az.temperature, models_base, metrics,
         )
         _write_meta_atomic(
@@ -220,7 +299,8 @@ def learn(
                 )
             frag = Memory(states=obs, ps=ps, outcomes=outcome)
             memory = Memory.concat([memory, frag])
-            save_training_data(frag, lrn_path / f"sp-{sp_i}")
+            if is_main:  # multi-process: every host holds the same memory
+                save_training_data(frag, lrn_path / f"sp-{sp_i}")
             # CE-floor diagnosis: the policy cross-entropy can never fall
             # below the mean entropy of its MCTS visit-count targets
             # (CE = H(target) + KL), so a "plateaued" policy loss must be
@@ -299,27 +379,32 @@ def learn(
         meta_committed = {
             "run_id": run_id, "next_learn_iter": l_i + 1, "pending_gate": l_i,
         }
-        saver.save_state(
-            state, latest,
-            on_committed=lambda m=meta_committed: _write_meta_atomic(
-                meta_path, m),
-            extra_variables_path=model_path_i,
-        )
-        # marks SUBMISSION of the async save, not durability — the durable
-        # commit is the on_committed cursor write above
-        metrics.log("model_saved", learn_iter=l_i, path=str(model_path_i))
-
         rng, r_gate = jax.random.split(rng)
-        gate(
-            env, eval_fn, state.variables, r_gate, mcts_cfg,
-            config.arena, az.temperature, models_base, metrics,
-        )
-        # order after the async commit above (wait() is a fast no-op here —
-        # the save overlapped the whole gate arena)
-        saver.wait()
-        _write_meta_atomic(
-            meta_path, {"run_id": run_id, "next_learn_iter": l_i + 1}
-        )
+        if is_main:
+            # checkpoints, the gate arena, and the resume cursor run on
+            # process 0 only (a multi-process run assumes a shared working
+            # directory: every host READS models/, only process 0 writes).
+            # Non-main processes skip straight to the next iteration's
+            # self-play and naturally rendezvous at its memory all-gather.
+            saver.save_state(
+                state, latest,
+                on_committed=lambda m=meta_committed: _write_meta_atomic(
+                    meta_path, m),
+                extra_variables_path=model_path_i,
+            )
+            # marks SUBMISSION of the async save, not durability — the
+            # durable commit is the on_committed cursor write above
+            metrics.log("model_saved", learn_iter=l_i, path=str(model_path_i))
+            gate(
+                env, eval_fn, host_variables(state.variables), r_gate,
+                mcts_cfg, config.arena, az.temperature, models_base, metrics,
+            )
+            # order after the async commit above (wait() is a fast no-op
+            # here — the save overlapped the whole gate arena)
+            saver.wait()
+            _write_meta_atomic(
+                meta_path, {"run_id": run_id, "next_learn_iter": l_i + 1}
+            )
     saver.close()
     return state
 

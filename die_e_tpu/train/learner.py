@@ -209,6 +209,26 @@ def compact_memory(ps, obs):
 _AUTO_COMPACT = object()
 
 
+def _put_batch_sharded(x, sharding):
+    """Place one host-replicated batch array under ``sharding`` (data axis).
+
+    Single-process: a plain device_put.  Multi-process (every host holds
+    the identical full batch — see parallel/multihost.allgather_memory):
+    each process uploads only the contiguous row range its own devices
+    cover and the runtime assembles the global array — device_put cannot
+    target non-addressable devices."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    import numpy as np
+
+    h, i = jax.process_count(), jax.process_index()
+    x = np.asarray(x)
+    per = x.shape[0] // h
+    return jax.make_array_from_process_local_data(
+        sharding, x[i * per:(i + 1) * per]
+    )
+
+
 def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
                 batch_size: int, metrics_out: list | None = None,
                 batch_sharding=None, compact=_AUTO_COMPACT):
@@ -258,7 +278,7 @@ def train_epoch(net, tx, state: TrainState, rng, obs, ps, outcome,
         else:
             batch = (obs[idx], ps[idx], outcome[idx], w)
         if batch_sharding is not None:
-            batch = tuple(jax.device_put(x, batch_sharding) for x in batch)
+            batch = tuple(_put_batch_sharded(x, batch_sharding) for x in batch)
         else:
             batch = tuple(jnp.asarray(x) for x in batch)
         if compact is not None:

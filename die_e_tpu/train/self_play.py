@@ -274,6 +274,7 @@ def self_play_hosted(
     progress=None,
     compact: bool = None,
     min_batch: int = None,
+    init_seeds=None,
 ):
     """Chunked self-play driver: the lockstep loop runs ``chunk_rounds``
     rounds per device program, the host fetches each chunk, filters the
@@ -300,6 +301,13 @@ def self_play_hosted(
     form (batch shape feeds the rng draws) but the game/fragment semantics
     are unchanged (tested in tests/test_train.py).
 
+    ``init_seeds`` (optional [batch_size] uint32) provides the game seeds
+    explicitly — the multi-process learn loop derives the GLOBAL game set
+    deterministically and hands each host its slice, so the set of games
+    played is independent of the host count (parallel/multihost.py).  The
+    rng split that would have drawn the seeds still happens, keeping the
+    loop's rng stream identical either way.
+
     Returns (obs [F,H,W,C] f32, ps [F,A] f32 temperature powers,
     outcome [F] f32, winner [B] i32, num_moves int).
     """
@@ -318,9 +326,13 @@ def self_play_hosted(
         min_batch = int(os.environ.get("DIE_E_SP_MIN_BATCH", "128"))
 
     rng, r_seed = jax.random.split(rng)
-    seeds = jax.random.randint(
-        r_seed, (batch_size,), 0, jnp.iinfo(jnp.int32).max
-    ).astype(jnp.uint32)
+    if init_seeds is not None:
+        seeds = jnp.asarray(init_seeds, jnp.uint32)
+        batch_size = seeds.shape[0]
+    else:
+        seeds = jax.random.randint(
+            r_seed, (batch_size,), 0, jnp.iinfo(jnp.int32).max
+        ).astype(jnp.uint32)
     states = jax.vmap(env.init)(seeds)
     done = jax.vmap(env.done)(states)
 
