@@ -1,0 +1,47 @@
+#!/bin/bash
+# End-of-round protocol (VERDICT round-2 weak #1: round 2 lost its official
+# perf number because the driver's bench.py hit a recovering tunnel).
+#
+# 1. pause the training run (STOP stays in place so nothing relaunches),
+# 2. PREFLIGHT the chip: block until a trivial op completes on the real
+#    TPU backend, retrying through the minutes-long tunnel recovery window,
+# 3. snapshot the run's resume artifacts into git (runs/ is not tracked
+#    and the environment resets between rounds — this is what lets the
+#    next round `learn --resume` instead of restarting from scratch).
+#
+# Run this 15-30 min before the round ends; the driver's bench.py then
+# finds an idle, verified-healthy chip.
+set -u
+RUN=/root/repo/runs/bg_full
+cd /root/repo
+
+bash scripts/pause_run.sh
+if [ -f "$RUN/watchdog.pid" ]; then
+  OLD=$(cat "$RUN/watchdog.pid")
+  while kill -0 "$OLD" 2>/dev/null; do sleep 5; done
+fi
+echo "[end_of_round] run paused; preflighting the chip"
+
+for i in $(seq 1 20); do
+  if PYTHONPATH=/root/repo:/root/.axon_site timeout 120 python - <<'EOF'
+import jax, numpy as np
+x = np.asarray(jax.jit(lambda a, b: a @ b)(
+    jax.numpy.ones((256, 256)), jax.numpy.ones((256, 256))))
+assert x[0, 0] == 256.0
+print("preflight ok:", jax.devices())
+EOF
+  then
+    break
+  fi
+  echo "[end_of_round] preflight attempt $i failed; tunnel recovering, retrying in 30s"
+  sleep 30
+done
+
+git add -f \
+  "$RUN/metrics.jsonl" \
+  "$RUN/models/backgammon/latest_meta.json" \
+  "$RUN/models/backgammon/latest_state" \
+  "$RUN/models/backgammon/best" \
+  "$RUN/ladder.jsonl" "$RUN/elo_matches.jsonl" 2>/dev/null
+git commit -q -m "Snapshot run state for cross-round resume (metrics, cursor, latest/best checkpoints)" || true
+echo "[end_of_round] done; chip idle, run state committed"
