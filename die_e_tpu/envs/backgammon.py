@@ -366,6 +366,69 @@ def legal_single(board, bar, off, player, die, f):
     return legal_entry | legal_normal | legal_collect
 
 
+def legal_digits(board, bar, off, player, die):
+    """[26] bool: :func:`legal_single` evaluated for every from-digit at
+    once (0..23 board, 24 bar, 25 absent -> always False).
+
+    Same reference semantics (entry :668-681, normal :600-616, bear-off
+    :562-597) in elementwise-board form: the per-STATE predicates (bar
+    occupancy, collectibility, the bear-off boundary checker hc/lc, the
+    entry cell) are computed once instead of once per digit, own-piece and
+    destination-open become whole-board compares, and destination lookup
+    is a 13x24 static-shift one-hot select (a dynamic gather here would
+    hit the TPU cost cliff; per-digit one-hot cell reads — the previous
+    form — cost 26 masked 24-wide reductions per state).  Equality with
+    legal_single over the full digit axis is pinned by
+    tests/test_mask_parity.py.
+    """
+    del off
+    own = (player + 1) // 2
+    has_bar = jnp.sum(jnp.where(jnp.arange(2) == own, bar, 0)) > 0
+
+    # --- entry digit (24)
+    e = jnp.where(player < 0, 24 - die, die - 1)
+    b_e = _cell(board, e)
+    legal_entry = has_bar & jnp.where(player < 0, b_e < 2, b_e > -2)
+
+    f = jnp.arange(24)
+    own_piece = jnp.where(player < 0, board <= -1, board >= 1)
+    open_tab = jnp.where(player < 0, board <= 1, board >= -1)
+    t_raw = f + die * player
+    in_range = (t_raw >= 0) & (t_raw <= 23)
+    # dest_open[f] = open_tab[f + die*player]: 13 static shifts selected by
+    # one-hot over k = die*player (out-of-range destinations are False and
+    # already excluded by in_range)
+    shifted = jnp.stack([
+        (f + k >= 0) & (f + k <= 23) & jnp.roll(open_tab, -k)
+        for k in range(-6, 7)
+    ])  # [13, 24]
+    sel = (jnp.arange(-6, 7) == die * player)[:, None]
+    dest_open = jnp.any(shifted & sel, axis=0)
+    legal_normal = (~has_bar) & in_range & own_piece & dest_open
+
+    # --- bear-off (per-state boundary checkers hc/lc, as in legal_single)
+    collectible = _is_collectible(board, bar, player)
+    exact = jnp.where(player < 0, t_raw == -1, t_raw == 24) & own_piece
+    idx = jnp.arange(24)
+    suff = jnp.cumsum(jnp.where(idx < 6, board, 0)[::-1])[::-1]
+    suff_next = jnp.concatenate([suff[1:6], jnp.zeros(1, suff.dtype)])
+    cond_neg = (board[:6] < 0) & (suff_next >= 0)
+    j6 = jnp.arange(6)
+    hc = jnp.max(jnp.where(cond_neg & (j6 < die - 1), j6, -1))
+    pre = jnp.cumsum(jnp.where(idx >= 18, board, 0))
+    pre_before = jnp.concatenate([jnp.zeros(1, pre.dtype), pre])[:24]
+    j18 = jnp.arange(18, 24)
+    cond_pos = (board[18:24] > 0) & (pre_before[18:24] <= 0)
+    lc = jnp.min(jnp.where(cond_pos & (j18 >= 24 - die), j18, 99))
+    higher = jnp.where(player < 0, f == hc, f == lc)
+    legal_collect = (~has_bar) & (~in_range) & collectible & (exact | higher)
+
+    return jnp.concatenate([
+        legal_normal | legal_collect,
+        jnp.stack([legal_entry, jnp.zeros((), bool)]),
+    ])
+
+
 # ---------------------------------------------------------------------------
 # Legal-action mask (reference get_valid_moves backgammon_logic.rs:403-414)
 # ---------------------------------------------------------------------------
@@ -403,11 +466,12 @@ def _mask_tables(state: BgState) -> dict:
 
     f_axis = jnp.arange(26)
 
-    # -- first-move tables [2, 26]
-    def leg1(d, f):
-        return legal_single(board, bar, off, player, d, f)
-
-    legal1 = jax.vmap(lambda d: jax.vmap(lambda f: leg1(d, f))(f_axis))(d_first)
+    # -- first-move tables [2, 26] (legal_digits = legal_single over the
+    # whole digit axis with per-state work hoisted; equality pinned in
+    # tests/test_mask_parity.py)
+    legal1 = jax.vmap(
+        lambda d: legal_digits(board, bar, off, player, d)
+    )(d_first)
     t1_tab = jax.vmap(lambda d: jax.vmap(lambda f: _to_of(f, d, player))(f_axis))(
         d_first
     )
@@ -424,17 +488,11 @@ def _mask_tables(state: BgState) -> dict:
     )(jnp.arange(2))
 
     # -- second-move tables [2, 26, 26] and [2, 26]
-    def leg2(dsel, f1, f2):
-        return legal_single(
-            s1_board[dsel, f1], s1_bar[dsel, f1], s1_off[dsel, f1],
-            player, d_second[dsel], f2,
-        )
-
     legal2 = jax.vmap(
-        lambda dsel: jax.vmap(
-            lambda f1: jax.vmap(lambda f2: leg2(dsel, f1, f2))(f_axis)
-        )(f_axis)
-    )(jnp.arange(2))
+        lambda b2, br2, of2, d: jax.vmap(
+            lambda b_, br_, of_: legal_digits(b_, br_, of_, player, d)
+        )(b2, br2, of2)
+    )(s1_board, s1_bar, s1_off, d_second)
     t2_tab = jax.vmap(lambda d: jax.vmap(lambda f: _to_of(f, d, player))(f_axis))(
         d_second
     )

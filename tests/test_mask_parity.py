@@ -183,3 +183,34 @@ def test_mask_batched_consistency():
     for i, c in enumerate(cases):
         single = mask_jax(*c)
         assert (masks[i] == single).all()
+
+
+def test_legal_digits_matches_legal_single():
+    """legal_digits (the mask kernel's vectorized stage-1 form) equals
+    legal_single over the full digit axis for random positions, all die
+    values, both players — including positions with bar checkers and
+    bear-off shapes (the per-state hoisted predicates must not change any
+    digit's verdict)."""
+    rng = random.Random(31337)
+    f_axis = jax.numpy.arange(26)
+
+    def single_all(board, bar, off, player, die):
+        return jax.vmap(
+            lambda f: bg.legal_single(board, bar, off, player, die, f)
+        )(f_axis)
+
+    fast = jax.jit(bg.legal_digits)
+    slow = jax.jit(single_all)
+    for trial in range(60):
+        board, bar, off, _, player = random_position(rng)
+        b = jax.numpy.asarray(board, jax.numpy.int8)
+        br = jax.numpy.asarray(bar, jax.numpy.int8)
+        of = jax.numpy.asarray(off, jax.numpy.int8)
+        for die in range(1, 7):
+            got = np.asarray(fast(b, br, of, player, die))
+            want = np.asarray(slow(b, br, of, player, die))
+            assert (got == want).all(), (
+                f"trial {trial} die {die} player {player}: "
+                f"digits {np.nonzero(got != want)[0].tolist()} differ\n"
+                f"board={board} bar={bar} off={off}"
+            )
