@@ -33,6 +33,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax  # noqa: E402
 
 
+def wilson95(successes: float, n: int) -> tuple[float, float]:
+    """95% Wilson score interval for a success proportion (successes =
+    wins_p1 only — draws do NOT count toward the arena winrate,
+    versus.rs:130-152 / arena.versus.PlayResult)."""
+    if n == 0:
+        return 0.0, 1.0
+    z = 1.959964
+    p = successes / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * ((p * (1 - p) + z * z / (4 * n)) / n) ** 0.5 / denom
+    return max(0.0, center - half), min(1.0, center + half)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-path", default=None,
@@ -91,10 +105,12 @@ def main():
             mcts_rollout_limit=args.rollout_limit if is_mcts else None,
             mcts_search_chunk=args.search_chunk if is_mcts else None,
         )
+        lo, hi = wilson95(res.wins_p1, args.games)
         line = {
             "metric": "strength_ladder", "model": path, "rung": rung,
             "games": args.games, "wins": res.wins_p1, "losses": res.wins_p2,
             "draws": res.draws, "winrate": res.winrate,
+            "wilson95": [round(lo, 4), round(hi, 4)],
             "model_sims": args.sims, "round_limit": args.round_limit,
             "secs": round(time.perf_counter() - t0, 1),
         }
