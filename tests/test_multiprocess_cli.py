@@ -67,8 +67,7 @@ def _events(path: Path):
     return [json.loads(line) for line in path.read_text().splitlines()]
 
 
-def test_cli_learn_two_processes(tmp_path):
-    (tmp_path / "cfg.toml").write_text(CFG)
+def _run_cluster(tmp_path, extra_args=()):
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # --platform cpu does the forcing
@@ -82,7 +81,7 @@ def test_cli_learn_two_processes(tmp_path):
              "--num-processes", "2", "--process-id", str(i),
              "-c", "cfg.toml", "-g", "tictactoe",
              "--metrics-jsonl", "metrics.jsonl",
-             "learn"],
+             "learn", *extra_args],
             env=env, cwd=tmp_path,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -99,6 +98,11 @@ def test_cli_learn_two_processes(tmp_path):
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+
+
+def test_cli_learn_two_processes(tmp_path):
+    (tmp_path / "cfg.toml").write_text(CFG)
+    _run_cluster(tmp_path)
 
     ev0 = _events(tmp_path / "metrics.jsonl")
     ev1 = _events(tmp_path / "metrics.jsonl.p1")
@@ -126,3 +130,38 @@ def test_cli_learn_two_processes(tmp_path):
     run_dirs = list((tmp_path / "data" / "tictactoe").glob("run-*"))
     assert len(run_dirs) == 1
     assert (run_dirs[0] / "lrn-0" / "sp-0").exists()
+
+
+def test_cli_learn_two_processes_resume(tmp_path):
+    """Kill-and-resume on the cluster: a 1-iteration multi-process run
+    followed by `learn --resume` with a raised total continues the SAME run
+    id and iteration numbering on every process (all processes read the
+    cursor process 0 wrote; full TrainState restore happens on each)."""
+    (tmp_path / "cfg.toml").write_text(CFG.replace(
+        "learn_iterations = 2", "learn_iterations = 1"))
+    _run_cluster(tmp_path)
+    meta = json.loads(
+        (tmp_path / "models" / "tictactoe" / "latest_meta.json").read_text()
+    )
+    assert meta["next_learn_iter"] == 1
+
+    (tmp_path / "cfg.toml").write_text(CFG)  # total now 2
+    _run_cluster(tmp_path, extra_args=("--resume",))
+
+    ev0 = _events(tmp_path / "metrics.jsonl")
+    ev1 = _events(tmp_path / "metrics.jsonl.p1")
+    # second launch resumed as lrn-1 in the same run dir on BOTH processes
+    starts0 = [e for e in ev0 if e["event"] == "run_start"]
+    assert [e["start_iter"] for e in starts0] == [0, 1]
+    assert starts0[0]["run_id"] == starts0[1]["run_id"]
+    starts1 = [e for e in ev1 if e["event"] == "run_start"]
+    assert [e["start_iter"] for e in starts1] == [0, 1]
+    assert starts1[1]["run_id"] == starts0[1]["run_id"]
+    run_dirs = list((tmp_path / "data" / "tictactoe").glob("run-*"))
+    assert len(run_dirs) == 1
+    assert (run_dirs[0] / "lrn-1" / "sp-0").exists()
+    assert (tmp_path / "models" / "tictactoe" / "model_1").exists()
+    # the resumed iteration's losses still agree across processes
+    loss0 = [e["loss"] for e in ev0 if e["event"] == "train_epoch"]
+    loss1 = [e["loss"] for e in ev1 if e["event"] == "train_epoch"]
+    assert loss0 == pytest.approx(loss1, rel=1e-6)
