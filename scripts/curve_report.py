@@ -56,10 +56,23 @@ def summarize(events):
             row = iters[last_saved]
             row["gate_winrate"] = ev.get("winrate")
             row["gate_result"] = ev.get("result")
+    ent: dict[int, list] = defaultdict(list)
     for (it, _), ev in sp_events.items():
         row = iters[it]
         row["sp_fragments"] = row.get("sp_fragments", 0) + ev["fragments"]
         row["sp_sims_per_s"] = ev["sims_per_s"]
+        if "target_entropy" in ev:
+            ent[it].append((ev["target_entropy"], ev["fragments"]))
+    for it, pairs in ent.items():
+        tot = sum(n for _, n in pairs)
+        if tot:
+            # CE floor: the policy cross-entropy can never fall below the
+            # mean entropy of its MCTS visit targets (CE = H(target) + KL);
+            # the excess column is the actual distance still learnable
+            floor = sum(h * n for h, n in pairs) / tot
+            iters[it]["ce_floor"] = floor
+            if "policy_loss" in iters[it]:
+                iters[it]["policy_excess"] = iters[it]["policy_loss"] - floor
     out = []
     for it in sorted(k for k in iters if k is not None):
         row = {"learn_iter": it}
@@ -70,17 +83,20 @@ def summarize(events):
 
 def to_markdown(rows):
     lines = [
-        "| iter | loss (final epoch) | policy | value | sp fragments | "
-        "sims/s | gate winrate | gate |",
-        "|---|---|---|---|---|---|---|---|",
+        "| iter | loss (final epoch) | policy | CE floor | KL excess | "
+        "value | sp fragments | sims/s | gate winrate | gate |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         gw = r.get("gate_winrate")
         lines.append(
-            "| {it} | {loss} | {pl} | {vl} | {fr} | {ss} | {gw} | {gr} |".format(
+            "| {it} | {loss} | {pl} | {cf} | {px} | {vl} | {fr} | {ss} | "
+            "{gw} | {gr} |".format(
                 it=r["learn_iter"],
                 loss=_fmt(r.get("loss")),
                 pl=_fmt(r.get("policy_loss")),
+                cf=_fmt(r.get("ce_floor")),
+                px=_fmt(r.get("policy_excess")),
                 vl=_fmt(r.get("value_loss")),
                 fr=r.get("sp_fragments", ""),
                 ss=_fmt(r.get("sp_sims_per_s"), 0),
