@@ -162,6 +162,18 @@ def learn(
         )
 
         mesh = make_mesh(config.mesh.data, config.mesh.model)
+        n_data = mesh.shape["data"]
+        if az.training_batch_size % n_data:
+            raise ValueError(
+                f"training_batch_size={az.training_batch_size} not divisible "
+                f"by the mesh data axis ({n_data} shards) — fixed-size "
+                f"batches are placed row-sharded over it"
+            )
+        if az.num_self_play_batches % n_data:
+            raise ValueError(
+                f"num_self_play_batches={az.num_self_play_batches} not "
+                f"divisible by the mesh data axis ({n_data} shards)"
+            )
         data_sh, repl = batch_sharding(mesh), replicated(mesh)
         # via host numpy: multi-process device_put accepts host arrays for
         # shardings that span non-addressable devices (every process holds

@@ -1,0 +1,44 @@
+"""Single-process unit behavior of the multi-host helpers (the cross-process
+semantics are covered by tests/test_multiprocess*.py; these pin the
+degenerate 1-process forms and input validation)."""
+
+import jax
+import numpy as np
+import pytest
+
+from die_e_tpu.core.mesh import make_mesh
+from die_e_tpu.parallel.multihost import (
+    allgather_memory,
+    initialize_multihost,
+    put_global_batch,
+)
+
+
+def test_initialize_noop_without_cluster(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert initialize_multihost() is False
+
+
+def test_allgather_memory_single_process_identity():
+    obs = np.arange(12, dtype=np.float32).reshape(3, 4)
+    out = np.zeros(3, np.float32)
+    g_obs, g_out = allgather_memory(obs, out)
+    np.testing.assert_array_equal(g_obs, obs)
+    np.testing.assert_array_equal(g_out, out)
+
+
+def test_put_global_batch_shards_rows():
+    mesh = make_mesh(8, 1, jax.devices()[:8])
+    x = np.arange(32, dtype=np.float32).reshape(16, 2)
+    g = put_global_batch(mesh, {"x": x})["x"]
+    np.testing.assert_array_equal(np.asarray(g), x)
+    assert len(g.sharding.device_set) == 8
+
+
+def test_put_global_batch_requires_data_axis_divisibility():
+    # rows must divide over the mesh's DATA axis (8 here) — the learn loop
+    # validates training_batch_size against this up front so a bad config
+    # fails with a clear message instead of deep inside device placement
+    mesh = make_mesh(8, 1, jax.devices()[:8])
+    with pytest.raises(ValueError, match="divisible"):
+        put_global_batch(mesh, np.zeros((3, 2), np.float32))
