@@ -70,12 +70,22 @@ class MeshConfig:
 class ArenaConfig:
     """Hardcoded in the reference: 400 games / 400-round draw limit
     (reference src/versus.rs:168-169), promote at >=0.55 winrate, keep best
-    at <=0.45 (reference src/alphazero/alpha_versus.rs:74-77)."""
+    at <=0.45 (reference src/alphazero/alpha_versus.rs:74-77).
+
+    ``gate_sequential`` (opt-in, DIVERGENCES.md): play the gate in
+    ``gate_block`` game blocks and stop as soon as the fixed-``num_games``
+    promote/keep decision is statistically determined (predictive
+    curtailment at error ``gate_eps`` per stop) instead of always playing
+    the full match — same thresholds, same decision in all but
+    borderline-winrate gates, a fraction of the chip time."""
 
     num_games: int = 400
     round_limit: int = 400
     promote_threshold: float = 0.55
     keep_threshold: float = 0.45
+    gate_sequential: bool = False
+    gate_block: int = 100
+    gate_eps: float = 0.02
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,6 +119,9 @@ _KEYMAP = {
     "arena_round_limit": ("arena", "round_limit"),
     "promote_threshold": ("arena", "promote_threshold"),
     "keep_threshold": ("arena", "keep_threshold"),
+    "arena_gate_sequential": ("arena", "gate_sequential"),
+    "arena_gate_block": ("arena", "gate_block"),
+    "arena_gate_eps": ("arena", "gate_eps"),
 }
 
 

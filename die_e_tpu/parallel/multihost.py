@@ -108,8 +108,21 @@ def allgather_memory(*host_arrays):
     Fragment counts differ per host (games have different lengths), so each
     array is padded to the max count before the collective and trimmed
     after.  Rides the jax.distributed backend (gloo on CPU, DCN on a pod).
+
+    CONTRACT: every array in one call must share the same local row count
+    (all are trimmed by the FIRST array's per-host counts).  Arrays with a
+    different cardinality (e.g. per-game winners alongside per-fragment
+    memory) must go in their own call.
     """
     from jax.experimental import multihost_utils
+
+    for x in host_arrays[1:]:
+        if x.shape[0] != host_arrays[0].shape[0]:
+            raise ValueError(
+                "allgather_memory arrays must share the local row count "
+                f"(got {x.shape[0]} vs {host_arrays[0].shape[0]}); gather "
+                "different-cardinality arrays in separate calls"
+            )
 
     counts = np.asarray(
         multihost_utils.process_allgather(

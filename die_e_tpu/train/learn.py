@@ -196,7 +196,7 @@ def learn(
             return variables
         return jax.tree_util.tree_map(np.asarray, variables)
 
-    def run_self_play(variables, r_sp):
+    def run_self_play(variables, r_sp, stats=None):
         """Returns (obs, ps, outcome, winner [B], n_fragments).
 
         Single-device: chunked host driver (bounded per-program duration
@@ -229,10 +229,14 @@ def learn(
                 round_limit=mcts_cfg.simulate_round_limit,
                 negamax=mcts_cfg.negamax,
                 init_seeds=local_seeds,
+                stats=stats,
             )
-            obs, ps, outcome, winner = allgather_memory(
-                obs, ps, outcome, np.asarray(winner_l)
-            )
+            # winner is one row per GAME, the memory arrays one row per
+            # FRAGMENT — gather it separately so each collective trims by
+            # its own per-host counts (gathering them together zero-padded
+            # winner from games to fragments, inflating the draws metric)
+            obs, ps, outcome = allgather_memory(obs, ps, outcome)
+            (winner,) = allgather_memory(np.asarray(winner_l))
             return obs, ps, outcome, winner, len(obs)
         if mesh is None:
             return self_play_hosted(
@@ -245,6 +249,7 @@ def learn(
                 temperature=az.temperature,
                 round_limit=mcts_cfg.simulate_round_limit,
                 negamax=mcts_cfg.negamax,
+                stats=stats,
             )
         r_sp, r_seed = jax.random.split(r_sp)
         seeds = jax.random.randint(
@@ -305,9 +310,10 @@ def learn(
         memory = Memory.empty(env.spec.obs_shape, env.spec.num_actions)
         for sp_i in range(az.self_play_iterations):
             rng, r_sp = jax.random.split(rng)
+            sp_stats: dict = {}
             with Timer() as t:
                 obs, ps, outcome, winner, moves = run_self_play(
-                    state.variables, r_sp
+                    state.variables, r_sp, sp_stats
                 )
             frag = Memory(states=obs, ps=ps, outcomes=outcome)
             memory = Memory.concat([memory, frag])
@@ -335,6 +341,10 @@ def learn(
                 wins_p1=int(np.sum(winner == 1)),
                 draws=int(np.sum(winner == 0)),
                 target_entropy=target_entropy,
+                # hosted-driver wall attribution (t_fetch = host blocked on
+                # the pending chunk — device+transfer the 1-deep pipeline
+                # failed to hide) for the pipeline-vs-bench gap analysis
+                **sp_stats,
             )
 
         # single-device: move the iteration's memory to the chip ONCE and

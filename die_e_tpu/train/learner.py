@@ -223,6 +223,10 @@ def _put_batch_sharded(x, sharding):
 
     h, i = jax.process_count(), jax.process_index()
     x = np.asarray(x)
+    if x.shape[0] % h:
+        raise ValueError(
+            f"batch rows {x.shape[0]} not divisible by {h} processes"
+        )
     per = x.shape[0] // h
     return jax.make_array_from_process_local_data(
         sharding, x[i * per:(i + 1) * per]

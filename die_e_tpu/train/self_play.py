@@ -275,6 +275,7 @@ def self_play_hosted(
     compact: bool = None,
     min_batch: int = None,
     init_seeds=None,
+    stats: dict = None,
 ):
     """Chunked self-play driver: the lockstep loop runs ``chunk_rounds``
     rounds per device program, the host fetches each chunk, filters the
@@ -307,6 +308,21 @@ def self_play_hosted(
     played is independent of the host count (parallel/multihost.py).  The
     rng split that would have drawn the seeds still happens, keeping the
     loop's rng stream identical either way.
+
+    When ``compact`` is on, the per-program round count ADAPTS to the
+    compacted batch: rounds = chunk_rounds * (initial_B / current_B),
+    capped at DIE_E_SP_CHUNK_MAX (default 16) — device-program duration
+    stays roughly constant while the late-game tail amortizes its
+    per-chunk dispatch/fetch overhead over 2-4x more rounds.  With
+    ``compact`` off the round count never changes, preserving the
+    bit-identical-to-fused contract above.
+
+    ``stats`` (optional dict) receives a wall-time attribution of the
+    driver: {"t_dispatch", "t_fetch", "t_extract", "n_chunks",
+    "n_row_rounds"} — t_fetch is time BLOCKED on the pending chunk's
+    host copy (device+transfer not hidden by the 1-deep pipeline),
+    n_row_rounds is the total searched rows across rounds (the true
+    device sim volume incl. done-game padding, vs len(obs) valid ones).
 
     Returns (obs [F,H,W,C] f32, ps [F,A] f32 temperature powers,
     outcome [F] f32, winner [B] i32, num_moves int).
@@ -366,10 +382,22 @@ def self_play_hosted(
     # transfer overlaps the next chunk's device execution instead of
     # leaving the chip idle (measured: blocking per-chunk fetches cost
     # ~2.3x on the tunneled chip).
+    import time as _time
+
+    chunk_max = int(os.environ.get("DIE_E_SP_CHUNK_MAX", "16"))
+    st = {"t_dispatch": 0.0, "t_fetch": 0.0, "t_extract": 0.0,
+          "n_chunks": 0, "n_row_rounds": 0}
+    cur_b = batch_size
     pending = None
     t = 0
     while t < round_limit:
         rounds = min(chunk_rounds, round_limit - t)
+        if compact and cur_b < batch_size:
+            # adaptive chunk: keep device-program duration roughly constant
+            # as the batch compacts (per-round cost scales ~with B)
+            rounds = min(chunk_rounds * (batch_size // cur_b), chunk_max,
+                         round_limit - t)
+        t0 = _time.perf_counter()
         obs, qprobs, player, valid, states, done, rng = self_play_chunk(
             env, eval_fn, params, states, done, rng,
             iterations=iterations, c=c,
@@ -383,10 +411,15 @@ def self_play_hosted(
                 buf.copy_to_host_async()
             except AttributeError:  # pragma: no cover - non-jax arrays
                 pass
+        st["t_dispatch"] += _time.perf_counter() - t0
+        st["n_chunks"] += 1
+        st["n_row_rounds"] += rounds * cur_b
         t += rounds
         chunk = (obs, qprobs, player, valid, done, winner_dev, tracker.orig)
         if pending is not None:
+            t0 = _time.perf_counter()
             done_h = _process(pending)
+            st["t_fetch"] += _time.perf_counter() - t0
             if done_h.all():
                 pending = None
                 break
@@ -404,9 +437,12 @@ def self_play_hosted(
                 if idx is not None:
                     states, done = compact_take(states, done, jnp.asarray(idx))
                     tracker.take(idx)
+                    cur_b = len(idx)
         pending = chunk
     if pending is not None:
+        t0 = _time.perf_counter()
         _process(pending)
+        st["t_fetch"] += _time.perf_counter() - t0
 
     done_fin = np.asarray(done)
     winner_fin = np.asarray(
@@ -417,6 +453,7 @@ def self_play_hosted(
         winner = tracker.final_winner().astype(winner_fin.dtype)
     else:
         winner = winner_fin
+    t0 = _time.perf_counter()
     obs = np.concatenate(frags_obs) if frags_obs else np.zeros(
         (0, *env.spec.obs_shape), np.float32
     )
@@ -433,6 +470,10 @@ def self_play_hosted(
         q.astype(np.float32) / np.float32(PROB_QUANT), 1.0 / temperature
     )
     outcome = (winner[gidx] * player).astype(np.float32)
+    st["t_extract"] += _time.perf_counter() - t0
+    if stats is not None:
+        stats.update({k: (round(v, 3) if isinstance(v, float) else v)
+                      for k, v in st.items()})
     return obs, ps, outcome, winner, int(len(obs))
 
 

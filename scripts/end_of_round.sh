@@ -22,6 +22,7 @@ if [ -f "$RUN/watchdog.pid" ]; then
 fi
 echo "[end_of_round] run paused; preflighting the chip"
 
+PREFLIGHT_OK=0
 for i in $(seq 1 20); do
   if PYTHONPATH=/root/repo:/root/.axon_site timeout 120 python - <<'EOF'
 import jax, numpy as np
@@ -31,6 +32,7 @@ assert x[0, 0] == 256.0
 print("preflight ok:", jax.devices())
 EOF
   then
+    PREFLIGHT_OK=1
     break
   fi
   echo "[end_of_round] preflight attempt $i failed; tunnel recovering, retrying in 30s"
@@ -44,4 +46,10 @@ git add -f \
   "$RUN/models/backgammon/best" \
   "$RUN/ladder.jsonl" "$RUN/elo_matches.jsonl" 2>/dev/null
 git commit -q -m "Snapshot run state for cross-round resume (metrics, cursor, latest/best checkpoints)" || true
+if [ "$PREFLIGHT_OK" -ne 1 ]; then
+  echo "[end_of_round] FAILURE: chip preflight never succeeded after 20 attempts —"
+  echo "[end_of_round] the tunnel is UNHEALTHY and the driver's bench.py will likely fail."
+  echo "[end_of_round] Run state IS committed; keep probing the chip manually."
+  exit 1
+fi
 echo "[end_of_round] done; chip idle, run state committed"

@@ -24,6 +24,7 @@ while true; do
   fi
   PYTHONPATH=/root/repo:/root/.axon_site \
     DIE_E_SP_COMPACT=1 DIE_E_ARENA_COMPACT=1 \
+    DIE_E_SP_MIN_BATCH=64 DIE_E_ARENA_MIN_BATCH=64 \
     python -m die_e_tpu.cli.main -c /root/repo/configs/bg_full.toml \
     -g backgammon --metrics-jsonl ./metrics.jsonl learn --resume \
     >> ./run.log 2>&1 &

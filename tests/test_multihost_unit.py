@@ -42,3 +42,13 @@ def test_put_global_batch_requires_data_axis_divisibility():
     mesh = make_mesh(8, 1, jax.devices()[:8])
     with pytest.raises(ValueError, match="divisible"):
         put_global_batch(mesh, np.zeros((3, 2), np.float32))
+
+
+def test_allgather_memory_rejects_mismatched_row_counts():
+    """ADVICE r3: per-game arrays (winner) must not ride in the same call
+    as per-fragment arrays — all arrays are trimmed by the first array's
+    counts, silently zero-padding the shorter one."""
+    frags = np.zeros((10, 4), np.float32)
+    winner = np.zeros((2,), np.int32)
+    with pytest.raises(ValueError, match="row count"):
+        allgather_memory(frags, winner)
