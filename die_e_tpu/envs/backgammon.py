@@ -70,6 +70,9 @@ SPEC = GameSpec(
     n_res_blocks=19,
     is_deterministic=False,
     noop_action=NOOP_ACTION,
+    # as_tensor planes are checker counts / die faces / flags — small exact
+    # integers (backgammon_logic.rs:198-252), int8 round-trips losslessly
+    obs_int8=True,
 )
 
 # Initial board, reference backgammon_logic.rs:80-94.  Negative = player -1.

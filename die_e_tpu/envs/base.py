@@ -142,6 +142,10 @@ class GameSpec:
     n_res_blocks: int         # N_RES_BLOCKS
     is_deterministic: bool    # IS_DETERMINISTIC
     noop_action: int          # encode(EMPTY_MOVE)
+    # tensorizer output is exactly representable as int8 (small exact
+    # integers) — lets hosted drivers ship observations over the wire as
+    # int8 with a lossless f32 round-trip (train/self_play.py)
+    obs_int8: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

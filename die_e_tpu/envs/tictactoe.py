@@ -21,6 +21,7 @@ SPEC = GameSpec(
     n_res_blocks=4,
     is_deterministic=True,
     noop_action=NOOP_ACTION,
+    obs_int8=True,  # cell planes are {-1, 0, 1}
 )
 
 # rows, columns, diagonals (tictactoe/mod.rs:61-66)

@@ -289,6 +289,68 @@ class TestSelfPlay:
         # without gidx, but outcome values must come from {-w, 0, +w}
         assert ps.shape == (len(obs), 9)
 
+    def test_hosted_sparse_wire_format_is_bit_identical(self, monkeypatch):
+        """The sparse root-children (action, visits) wire format + int8
+        obs (the round-4 tunnel-transfer cut) must reproduce the dense
+        uint16 path bit-for-bit: same memory, same winners."""
+        from die_e_tpu.train.self_play import self_play_hosted
+
+        def run():
+            return self_play_hosted(
+                ttt.ENV, net_eval_fn(NET),
+                init_params(NET, jax.random.PRNGKey(0)),
+                jax.random.PRNGKey(5), batch_size=8, iterations=16, c=2.0,
+                temperature=1.25, round_limit=9, chunk_rounds=3,
+            )
+
+        monkeypatch.setenv("DIE_E_SP_SPARSE", "0")
+        monkeypatch.setenv("DIE_E_SP_OBS_I8", "0")
+        d_obs, d_ps, d_outcome, d_winner, d_moves = run()
+        monkeypatch.setenv("DIE_E_SP_SPARSE", "1")
+        monkeypatch.setenv("DIE_E_SP_OBS_I8", "1")
+        s_obs, s_ps, s_outcome, s_winner, s_moves = run()
+        assert s_obs.dtype == np.float32
+        np.testing.assert_array_equal(s_obs, d_obs)
+        np.testing.assert_array_equal(s_ps, d_ps)
+        np.testing.assert_array_equal(s_outcome, d_outcome)
+        np.testing.assert_array_equal(s_winner, d_winner)
+        assert s_moves == d_moves
+
+    def test_dense_q_from_sparse_exact(self):
+        """Host reconstruction == the device's dense quantization for
+        random sparse records (incl. empty rows and duplicate-free
+        actions)."""
+        import jax.numpy as jnp
+
+        from die_e_tpu.train.self_play import PROB_QUANT, _dense_q_from_sparse
+
+        rng = np.random.default_rng(3)
+        f, n, a = 37, 17, 29
+        act = np.full((f, n), -1, np.int16)
+        vis = np.zeros((f, n), np.uint16)
+        for i in range(f):
+            k = rng.integers(0, n)
+            acts = rng.choice(a, size=k, replace=False).astype(np.int16)
+            act[i, :k] = acts
+            vis[i, :k] = rng.integers(1, 100, size=k)
+        got = _dense_q_from_sparse(act, vis, a)
+        # device-side dense reference
+        counts = np.zeros((f, a), np.float32)
+        for i in range(f):
+            for j in range(n):
+                if act[i, j] >= 0:
+                    counts[i, act[i, j]] += vis[i, j]
+        total = jnp.sum(jnp.asarray(counts), axis=-1, keepdims=True)
+        probs = jnp.where(total > 0, counts / jnp.maximum(total, 1e-9), 0.0)
+        expect = np.asarray(
+            jnp.round(jnp.clip(probs, 0.0, 1.0) * PROB_QUANT).astype(jnp.uint16)
+        )
+        np.testing.assert_array_equal(got, expect)
+        # all-empty input
+        assert _dense_q_from_sparse(
+            np.full((0, n), -1, np.int16), np.zeros((0, n), np.uint16), a
+        ).shape == (0, a)
+
     def test_compaction_primitives(self):
         from die_e_tpu.envs.base import compact_take, compaction_plan
 
