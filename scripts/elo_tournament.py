@@ -153,10 +153,18 @@ def main():
             f.write(json.dumps(rec) + "\n")
 
     anchor = "random" if "random" in players else names[0]
-    ratings = compute_elo(matches_from_records(rows), anchor=anchor)
+    match_list = matches_from_records(rows)
+    ratings = compute_elo(match_list, anchor=anchor)
+    from die_e_tpu.arena.elo import bootstrap_elo
+
+    cis = bootstrap_elo(match_list, anchor=anchor, n_boot=300,
+                        seed=args.seed)
     summary = {"metric": "elo_ratings", "anchor": anchor,
                "ratings": {k: round(v, 1) for k, v in sorted(
-                   ratings.items(), key=lambda kv: -kv[1])}}
+                   ratings.items(), key=lambda kv: -kv[1])},
+               "ci95": {k: [round(lo, 1), round(hi, 1)]
+                        for k, (lo, hi) in sorted(
+                            cis.items(), key=lambda kv: -kv[1][0])}}
     print(json.dumps(summary), flush=True)
     with open(out_path.with_suffix(".ratings.json"), "w") as f:
         json.dump(summary, f, indent=1)

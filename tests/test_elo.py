@@ -64,3 +64,37 @@ class TestComputeElo:
         ]
         (m,) = matches_from_records(rows)
         assert m.games == 100 and m.score_a == 65.0
+
+
+class TestBootstrapCI:
+    def test_ci_contains_point_and_separates_decisive_gaps(self):
+        from die_e_tpu.arena.elo import bootstrap_elo
+
+        true = {"random": 0.0, "weak": 200.0, "strong": 500.0}
+        matches = _simulate(true, list(true), games=800, seed=3)
+        ratings = compute_elo(matches, anchor="random")
+        cis = bootstrap_elo(matches, anchor="random", n_boot=80, seed=1)
+        for name, (lo, hi) in cis.items():
+            assert lo <= ratings[name] <= hi, (name, lo, ratings[name], hi)
+        # a 300-Elo gap at 800 games/pair is decisive: intervals disjoint
+        assert cis["strong"][0] > cis["weak"][1]
+        # the anchor is pinned
+        assert cis["random"] == (0.0, 0.0)
+
+    def test_ci_overlaps_for_statistically_even_players(self):
+        """The round-3 model_6/model_12 inversion scenario: two players
+        whose head-to-head is ~50/50 at 64 games must show overlapping
+        CIs — the inversion is noise, and the intervals say so."""
+        from die_e_tpu.arena.elo import bootstrap_elo
+
+        matches = [
+            MatchResult("m6", "random", 63, 1),
+            MatchResult("m12", "random", 62, 2),
+            MatchResult("m6", "m12", 35, 29),  # inverted point estimate
+        ]
+        ratings = compute_elo(matches, anchor="random")
+        cis = bootstrap_elo(matches, anchor="random", n_boot=120, seed=2)
+        assert ratings["m6"] > ratings["m12"]  # the misleading inversion
+        lo6, hi6 = cis["m6"]
+        lo12, hi12 = cis["m12"]
+        assert lo6 < hi12 and lo12 < hi6  # ...visibly insignificant
