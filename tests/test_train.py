@@ -67,6 +67,82 @@ class TestTrainStep:
             float(m_full["loss"]), float(m_pad["loss"]), rtol=1e-5
         )
 
+    def test_bn_padding_distortion_is_bounded(self):
+        """DIVERGENCES row 17 quantified (VERDICT r3 weak #5): wrapped
+        zero-weight padding rows in a partial final batch enter BatchNorm
+        batch statistics (double-weighting those rows' stats).  Isolate
+        exactly that effect — identical step sequence, except the last
+        batch either carries 16 real + 16 wrapped-padding rows or only the
+        16 real rows — and bound the divergence of the resulting model.
+
+        Measured (this test, 64-filter net, 80 random rows, 3 steps):
+        batch_stats relative L2 delta 6.7e-4, params delta 4.4e-3, probe
+        eval-loss delta ~3% (random-target probe — chaotic step
+        sensitivity, not bias) — distribution-preserving as argued, now
+        with numbers attached (cited in DIVERGENCES row 17)."""
+        rng = jax.random.PRNGKey(9)
+        obs, ps, outcome, _ = _fake_batch(rng, 80)
+
+        def run(pad_last: bool):
+            state = create_train_state(NET, jax.random.PRNGKey(0))
+            for i in range(2):  # two full 32-row batches, identical
+                sl = slice(32 * i, 32 * (i + 1))
+                state, _ = train_step(
+                    NET, TX, state, obs[sl], ps[sl], outcome[sl],
+                    jnp.ones((32,)),
+                )
+            if pad_last:  # 16 real + 16 wrapped (rows 0-15) at weight 0
+                idx = jnp.concatenate(
+                    [jnp.arange(64, 80), jnp.arange(0, 16)]
+                )
+                w = jnp.concatenate([jnp.ones((16,)), jnp.zeros((16,))])
+                state, _ = train_step(
+                    NET, TX, state, obs[idx], ps[idx], outcome[idx], w
+                )
+            else:  # the natural-size final batch (reference semantics)
+                sl = slice(64, 80)
+                state, _ = train_step(
+                    NET, TX, state, obs[sl], ps[sl], outcome[sl],
+                    jnp.ones((16,)),
+                )
+            return state
+
+        s_pad, s_nat = run(True), run(False)
+
+        def flat(tree):
+            return np.concatenate([
+                np.asarray(x).ravel()
+                for x in jax.tree_util.tree_leaves(tree)
+            ])
+
+        bs_pad, bs_nat = flat(s_pad.batch_stats), flat(s_nat.batch_stats)
+        rel_bs = np.linalg.norm(bs_pad - bs_nat) / max(
+            np.linalg.norm(bs_nat), 1e-9
+        )
+        # eval-mode loss on a fresh probe batch under both models
+        p_obs, p_ps, p_out, _ = _fake_batch(jax.random.PRNGKey(17), 32)
+
+        def eval_loss(state):
+            policy, value = NET.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                p_obs, train=False,
+            )
+            ce = -jnp.mean(jnp.sum(
+                p_ps / jnp.sum(p_ps, -1, keepdims=True)
+                * jnp.log(jnp.maximum(policy, 1e-9)), -1))
+            mse = jnp.mean((value[:, 0] - p_out) ** 2)
+            return float(ce + mse)
+
+        l_pad, l_nat = eval_loss(s_pad), eval_loss(s_nat)
+        rel_loss = abs(l_pad - l_nat) / max(abs(l_nat), 1e-9)
+        rel_params = np.linalg.norm(
+            flat(s_pad.params) - flat(s_nat.params)
+        ) / max(np.linalg.norm(flat(s_nat.params)), 1e-9)
+        # the measured bounds DIVERGENCES row 17 cites
+        assert rel_bs < 0.005, rel_bs
+        assert rel_params < 0.02, rel_params
+        assert rel_loss < 0.05, (l_pad, l_nat)
+
     def test_nan_input_raises_in_epoch(self):
         state = create_train_state(NET, jax.random.PRNGKey(0))
         obs = jnp.full((4, 3, 3, 3), jnp.nan)
