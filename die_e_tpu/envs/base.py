@@ -63,14 +63,18 @@ def compaction_plan(done_h, min_batch: int):
     [B] (numpy bool), return an int32 index array [new_B] packing live
     games first (padded with finished games, which step frozen and
     contribute nothing) — or None when shrinking isn't worthwhile.
-    new_B is the next power of two >= max(live, min_batch), so repeated
-    compaction costs at most log2(B/min_batch) extra program compiles."""
+    new_B is the smallest ladder size >= max(live, min_batch), where the
+    ladder is {2^k} U {3*2^k} (..., 64, 96, 128, 192, 256, 384, ...):
+    the 3*2^k intermediates roughly halve the average done-row padding of
+    a pure power-of-two ladder for ~log2 extra program compiles (each
+    (B, new_B) shape compiles once per process)."""
     import numpy as np
 
     b = len(done_h)
     live_idx = np.nonzero(~done_h)[0]
-    live = max(int(live_idx.size), 1)
-    new_b = max(min_batch, 1 << (live - 1).bit_length())
+    live = max(int(live_idx.size), 1, min_batch)
+    pow2 = 1 << (live - 1).bit_length()          # smallest 2^k >= live
+    new_b = pow2 if live > 3 * pow2 // 4 else 3 * pow2 // 4
     if new_b >= b:
         return None
     fill = np.nonzero(done_h)[0][: new_b - live_idx.size]

@@ -142,3 +142,61 @@ def allgather_memory(*host_arrays):
             np.concatenate([stacked[h, : counts[h]] for h in range(len(counts))])
         )
     return tuple(out)
+
+
+def allgather_memory_sparse(obs, ps, outcome, obs_int8=False, stats=None):
+    """Bandwidth-lean :func:`allgather_memory` for the actor->learner
+    replay transfer (VERDICT r3 weak #4: the dense form ships ~1.8 GB of
+    [N, 1352] f32 prob rows per host per sp iteration at the reference
+    workload).  The wire format mirrors the single-host transfer
+    discipline: observations as int8 when the tensorizer is integer-exact,
+    prob rows CSR-packed ((idx uint16, val f32) over the <=sims nonzero
+    entries, train/learner._sparsify_rows), outcomes as int8 (+-1/0).
+    Every host returns the identical dense (obs f32, ps f32, outcome f32)
+    concatenation — bit-equal to the dense gather's output.
+
+    ``stats`` (optional dict) receives {"bytes_wire", "bytes_dense"} for
+    the transfer-cut bookkeeping the learn loop logs.
+    """
+    from jax.experimental import multihost_utils
+
+    from die_e_tpu.train.learner import _sparsify_rows
+
+    obs = np.asarray(obs)
+    ps = np.asarray(ps)
+    outcome = np.asarray(outcome)
+    a = ps.shape[1]
+    idx, val = _sparsify_rows(ps)
+    # pad the column dim to the max K over hosts (K is already rounded to
+    # a multiple of 64, so this adds at most a handful of distinct shapes)
+    k_all = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray([idx.shape[1]], np.int64)
+        )
+    ).reshape(-1)
+    k = int(k_all.max()) if k_all.size else idx.shape[1]
+    if k > idx.shape[1]:
+        padc = ((0, 0), (0, k - idx.shape[1]))
+        idx = np.pad(idx, padc)
+        val = np.pad(val, padc)
+    obs_w = obs.astype(np.int8) if obs_int8 else obs
+    out_w = outcome.astype(np.int8)  # outcomes are exactly -1/0/+1
+    g_obs, g_idx, g_val, g_out = allgather_memory(obs_w, idx, val, out_w)
+    n = g_idx.shape[0]
+    ps_dense = np.zeros((n, a), np.float32)
+    mask = g_val != 0.0  # padding slots are (col 0, val 0); real vals != 0
+    rows = np.nonzero(mask)[0]
+    ps_dense[rows, g_idx[mask].astype(np.int64)] = g_val[mask]
+    if stats is not None:
+        h = jax.process_count()
+        stats["bytes_wire"] = int(
+            (obs_w.nbytes + idx.nbytes + val.nbytes + out_w.nbytes) * h
+        )
+        stats["bytes_dense"] = int(
+            (obs.nbytes + ps.nbytes + outcome.nbytes) * h
+        )
+    return (
+        g_obs.astype(np.float32) if obs_int8 else g_obs,
+        ps_dense,
+        g_out.astype(np.float32),
+    )

@@ -204,7 +204,10 @@ def learn(
         sharded actors + all-gathered memory.  Single-process multi-device
         mesh: the fully fused sharded program."""
         if nproc > 1:
-            from die_e_tpu.parallel.multihost import allgather_memory
+            from die_e_tpu.parallel.multihost import (
+                allgather_memory,
+                allgather_memory_sparse,
+            )
 
             # the global game set is derived from the shared rng stream, so
             # it is identical regardless of host count; each host plays its
@@ -235,7 +238,16 @@ def learn(
             # FRAGMENT — gather it separately so each collective trims by
             # its own per-host counts (gathering them together zero-padded
             # winner from games to fragments, inflating the draws metric)
-            obs, ps, outcome = allgather_memory(obs, ps, outcome)
+            if os.environ.get("DIE_E_MH_SPARSE", "1") == "1":
+                # CSR prob rows + int8 obs/outcomes over DCN — ~10x fewer
+                # bytes, bit-equal gathered memory (multihost.py)
+                obs, ps, outcome = allgather_memory_sparse(
+                    obs, ps, outcome,
+                    obs_int8=bool(getattr(env.spec, "obs_int8", False)),
+                    stats=stats,
+                )
+            else:
+                obs, ps, outcome = allgather_memory(obs, ps, outcome)
             (winner,) = allgather_memory(np.asarray(winner_l))
             return obs, ps, outcome, winner, len(obs)
         if mesh is None:
@@ -337,6 +349,14 @@ def learn(
                 # pre-round-2 curve entries counted raw rounds played
                 moves_per_s=moves / max(t.elapsed, 1e-9),
                 sims_per_s=moves * mcts_cfg.iterations / max(t.elapsed, 1e-9),
+                # device search rate incl. lockstep padding rows (done
+                # games between compactions + noop plies): the number to
+                # compare against the standalone search bench — sims_per_s
+                # counts only fragments that enter training memory
+                sims_per_s_device=(
+                    sp_stats.get("n_row_rounds", 0) * mcts_cfg.iterations
+                    / max(t.elapsed, 1e-9)
+                ) if sp_stats.get("n_row_rounds") else None,
                 wins_m1=int(np.sum(winner == -1)),
                 wins_p1=int(np.sum(winner == 1)),
                 draws=int(np.sum(winner == 0)),

@@ -52,3 +52,30 @@ def test_allgather_memory_rejects_mismatched_row_counts():
     winner = np.zeros((2,), np.int32)
     with pytest.raises(ValueError, match="row count"):
         allgather_memory(frags, winner)
+
+
+def test_allgather_memory_sparse_roundtrip_identity():
+    """Single-process form: the CSR wire format must reproduce the dense
+    (obs, ps, outcome) exactly, including int8 obs round-trip and rows
+    whose support includes column 0."""
+    from die_e_tpu.parallel.multihost import allgather_memory_sparse
+
+    rng = np.random.default_rng(5)
+    n, a = 40, 500  # wide action space: the regime the CSR format targets
+    obs = rng.integers(-3, 4, size=(n, 2, 2)).astype(np.float32)
+    ps = np.zeros((n, a), np.float32)
+    for i in range(n):
+        k = rng.integers(0, 7)
+        cols = rng.choice(a, size=k, replace=False)
+        ps[i, cols] = rng.random(k).astype(np.float32) + 0.01
+    ps[0, 0] = 0.5  # col-0 support must survive the (0, 0) padding slots
+    outcome = rng.choice([-1.0, 0.0, 1.0], size=n).astype(np.float32)
+    stats = {}
+    g_obs, g_ps, g_out = allgather_memory_sparse(
+        obs, ps, outcome, obs_int8=True, stats=stats
+    )
+    np.testing.assert_array_equal(g_obs, obs)
+    assert g_obs.dtype == np.float32
+    np.testing.assert_array_equal(g_ps, ps)
+    np.testing.assert_array_equal(g_out, outcome)
+    assert stats["bytes_wire"] < stats["bytes_dense"]

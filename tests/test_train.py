@@ -432,15 +432,26 @@ class TestSelfPlay:
 
         done = np.array([True, False, True, False, True, True, True, True])
         idx = compaction_plan(done, min_batch=2)
-        # 2 live games -> pow2 batch of 2: exactly the live indices
+        # 2 live games -> ladder batch of 2: exactly the live indices
         np.testing.assert_array_equal(idx, [1, 3])
-        # 3 live -> pow2 4, padded with a finished game
+        # 3 live -> ladder size 3 (= 3*2^0; the {2^k, 3*2^k} ladder's
+        # intermediates halve done-row padding vs pure pow2)
         done3 = np.array([False, True, False, True, False, True, True, True])
         np.testing.assert_array_equal(
-            compaction_plan(done3, min_batch=2), [0, 2, 4, 1])
-        # not worth shrinking
-        assert compaction_plan(~done, min_batch=2) is None
+            compaction_plan(done3, min_batch=2), [0, 2, 4])
+        # 5 live of 8 -> ladder size 6, padded with a finished game
+        done5 = np.array([False, False, False, False, False, True, True, True])
+        np.testing.assert_array_equal(
+            compaction_plan(done5, min_batch=2), [0, 1, 2, 3, 4, 5])
+        # 6 live of 8 -> ladder size 6 (a pure-pow2 ladder kept 8)
+        np.testing.assert_array_equal(
+            compaction_plan(~done, min_batch=2), [0, 2, 4, 5, 6, 7])
+        # not worth shrinking: 7 live of 8 -> ladder 8 == current batch
+        done7 = np.array([True] + [False] * 7)
+        assert compaction_plan(done7, min_batch=2) is None
         assert compaction_plan(done, min_batch=8) is None
+        # min_batch floors the ladder: 2 live with min_batch 6 -> size 6
+        assert len(compaction_plan(done, min_batch=6)) == 6
 
         states = jax.vmap(ttt.init)(jnp.arange(8, dtype=jnp.uint32))
         taken, tdone = compact_take(states, jnp.asarray(done), jnp.asarray(idx))
