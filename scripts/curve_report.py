@@ -24,7 +24,11 @@ def load_events(path: str):
         for line in f:
             line = line.strip()
             if line:
-                events.append(json.loads(line))
+                try:
+                    events.append(json.loads(line))
+                except json.JSONDecodeError:
+                    # torn line (concurrent writers / kill mid-append)
+                    continue
     return events
 
 
