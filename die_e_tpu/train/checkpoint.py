@@ -13,6 +13,7 @@ maintained by gating.
 
 from __future__ import annotations
 
+import shutil
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Callable, Optional
@@ -112,7 +113,23 @@ class AsyncSaver:
             if extra_variables_path is not None:
                 _ckptr().save(Path(extra_variables_path).absolute(),
                               host_state.variables, force=True)
-            _ckptr().save(Path(path).absolute(), host_state, force=True)
+            # Never overwrite the resume target in place: a SIGTERM/SIGKILL
+            # mid-save (watchdog stall-kill, pause_run.sh) must leave EITHER
+            # the previous committed state at `path` OR a complete new state
+            # at `path.new` — observed failure mode: orbax force=True tears
+            # down the old dir before the new write is durable, so an
+            # in-place overwrite can destroy the only full train state on
+            # disk (round-4 torn latest_state).  resolve_state_dir() is the
+            # reader-side half of this protocol.
+            target = Path(path).absolute()
+            new = target.with_name(target.name + ".new")
+            old = target.with_name(target.name + ".old")
+            _ckptr().save(new, host_state, force=True)
+            shutil.rmtree(old, ignore_errors=True)
+            if target.exists():
+                target.rename(old)
+            new.rename(target)
+            shutil.rmtree(old, ignore_errors=True)
             if on_committed is not None:
                 on_committed()
 
@@ -132,6 +149,38 @@ class AsyncSaver:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def resolve_state_dir(path) -> Optional[Path]:
+    """Reader-side half of AsyncSaver.save_state's atomic swap: return the
+    directory holding the newest complete full-state checkpoint for
+    ``path``, healing interrupted swaps.
+
+    A kill can land (a) mid-write to ``path.new`` — ``path`` still holds
+    the previous committed state; (b) between the two renames — ``path`` is
+    gone but ``path.new`` is complete (the swap only starts after the save
+    returns); (c) after the swap — ``path`` holds the new state.  Prefers
+    ``path``, then heals ``path.new`` / ``path.old`` into place.  Returns
+    None when no candidate exists.  Restore errors are still possible for
+    legacy in-place saves torn before this protocol existed — callers
+    should treat a failed restore as "fall back", not fatal.
+    """
+    target = Path(path)
+    new = target.with_name(target.name + ".new")
+    old = target.with_name(target.name + ".old")
+    if target.exists():
+        # stale swap leftovers: .new is an unfinished (unrenamed) save,
+        # .old a superseded state — both are strictly older than `target`
+        shutil.rmtree(new, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        return target
+    for cand in (new, old):  # .new is the more recent complete state
+        if cand.exists():
+            cand.rename(target)
+            shutil.rmtree(new, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            return target
+    return None
 
 
 def model_dir(game_name: str, base: str = "./models") -> Path:

@@ -134,12 +134,39 @@ def learn(
         params=variables["params"], batch_stats=variables["batch_stats"]
     )
     latest = ckpt.model_dir(env.spec.name, models_base) / "latest_state"
-    full_resume = resume and latest.exists()
-    if full_resume:
-        # full resume incl. optimizer state (the reference rebuilds Adam
-        # fresh every run, alphazero.rs:102 — a documented quirk fix)
-        state = ckpt.restore_state(latest, state)
-        source = f"{latest} (full train state)"
+    full_resume = False
+    if resume:
+        src = ckpt.resolve_state_dir(latest)
+        if src is not None:
+            try:
+                # full resume incl. optimizer state (the reference rebuilds
+                # Adam fresh every run, alphazero.rs:102 — a documented
+                # quirk fix)
+                state = ckpt.restore_state(src, state)
+                full_resume = True
+                source = f"{src} (full train state)"
+            except Exception as e:  # torn legacy in-place save / disk loss
+                metrics.log("checkpoint_unreadable", path=str(src),
+                            error=repr(e)[:200])
+        if not full_resume and start_iter:
+            # fallback ladder: newest intact model_{i} below the cursor —
+            # inference variables only, optimizer restarts fresh (the
+            # reference's own behavior on EVERY run, alphazero.rs:102), so
+            # a torn latest_state costs Adam moments, not training progress
+            for i in range(start_iter - 1, -1, -1):
+                mp_i = ckpt.model_dir(env.spec.name, models_base) / f"model_{i}"
+                if not mp_i.exists():
+                    continue
+                try:
+                    variables = ckpt.restore_variables(mp_i, state.variables)
+                except Exception as e:
+                    metrics.log("checkpoint_unreadable", path=str(mp_i),
+                                error=repr(e)[:200])
+                    continue
+                state = state.replace(params=variables["params"],
+                                      batch_stats=variables["batch_stats"])
+                source = f"{mp_i} (variables only, fresh optimizer)"
+                break
     metrics.log("model_bootstrap", source=source)
     tx = make_optimizer(opt.lr, opt.wd)
     # inference (self-play search + arena gating) compute dtype: f32 by

@@ -65,6 +65,46 @@ class TestAsyncSaver:
         saver.close()
         assert (tmp_path / "after").exists()
 
+    def test_save_swaps_atomically_and_cleans_up(self, state, tmp_path):
+        """Two saves to the same path leave one complete checkpoint and no
+        .new/.old swap leftovers (the resume target is never overwritten in
+        place — a mid-save kill must not destroy the previous state)."""
+        target = tmp_path / "latest"
+        with ckpt.AsyncSaver() as saver:
+            saver.save_state(state, target)
+            saver.wait()
+            saver.save_state(state, target)
+        assert target.exists()
+        assert not (tmp_path / "latest.new").exists()
+        assert not (tmp_path / "latest.old").exists()
+        restored = ckpt.restore_state(target, state)
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(restored)[0]),
+            np.asarray(jax.tree_util.tree_leaves(state)[0]),
+        )
+
+    def test_resolve_state_dir_heals_interrupted_swap(self, state, tmp_path):
+        """A kill between the swap's two renames leaves only latest.new
+        (complete); resolve_state_dir renames it into place."""
+        target = tmp_path / "latest"
+        ckpt.save_state(state, tmp_path / "latest.new")  # complete .new
+        assert ckpt.resolve_state_dir(target) == target
+        restored = ckpt.restore_state(target, state)
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(restored)[0]),
+            np.asarray(jax.tree_util.tree_leaves(state)[0]),
+        )
+
+    def test_resolve_state_dir_prefers_target_and_prunes(self, state, tmp_path):
+        target = tmp_path / "latest"
+        ckpt.save_state(state, target)
+        (tmp_path / "latest.new").mkdir()  # torn unfinished save
+        (tmp_path / "latest.old").mkdir()  # superseded state
+        assert ckpt.resolve_state_dir(target) == target
+        assert not (tmp_path / "latest.new").exists()
+        assert not (tmp_path / "latest.old").exists()
+        assert ckpt.resolve_state_dir(tmp_path / "absent") is None
+
     def test_saves_serialize_in_order(self, tmp_path):
         order = []
         ev = threading.Event()

@@ -160,6 +160,55 @@ def test_resume_continues_iteration_numbering(tmp_path):
     assert "pending_gate" not in meta
 
 
+def test_resume_falls_back_to_newest_model_when_latest_state_torn(tmp_path):
+    """A torn latest_state (legacy in-place save killed mid-write — the
+    round-4 production failure) must not abort the run: resume falls back to
+    the newest intact model_{i} (inference variables, fresh optimizer) and
+    continues the iteration numbering."""
+    import json
+    import shutil
+
+    def cfg(total_iters):
+        return Config(
+            mcts=MctsConfig(iterations=4, simulate_round_limit=9),
+            alphazero=AlphaZeroConfig(
+                learn_iterations=total_iters, self_play_iterations=1,
+                num_epochs=1, training_batch_size=8,
+                num_self_play_batches=8,
+            ),
+            optimizer=OptimizerParams(),
+            mesh=MeshConfig(data=8, model=1),
+            arena=ArenaConfig(num_games=8, round_limit=9),
+        )
+
+    kw = dict(data_base=str(tmp_path / "data"),
+              models_base=str(tmp_path / "models"))
+    learn(ttt.ENV, cfg(1), seed=0, metrics=Metrics(quiet=True), **kw)
+
+    # tear latest_state the way the production kill did: metadata/manifest
+    # files survive, the zarr data files are gone
+    latest = tmp_path / "models" / "tictactoe" / "latest_state"
+    for p in latest.rglob("*"):
+        if p.is_file() and "manifest" not in p.name and \
+                not p.name.startswith("_"):
+            p.unlink()
+    for d in list(latest.rglob("d")):
+        shutil.rmtree(d, ignore_errors=True)
+
+    jsonl = tmp_path / "events.jsonl"
+    learn(ttt.ENV, cfg(2), seed=0, resume=True,
+          metrics=Metrics(quiet=True, jsonl_path=str(jsonl)), **kw)
+    events = [json.loads(l) for l in jsonl.read_text().splitlines()]
+    boot = next(e for e in events if e["event"] == "model_bootstrap")
+    assert boot["source"].endswith("model_0 (variables only, fresh optimizer)")
+    assert any(e["event"] == "checkpoint_unreadable" for e in events)
+    assert (tmp_path / "models" / "tictactoe" / "model_1").exists()
+    meta = json.loads(
+        (tmp_path / "models" / "tictactoe" / "latest_meta.json").read_text()
+    )
+    assert meta["next_learn_iter"] == 2
+
+
 def test_resume_reruns_gate_interrupted_mid_arena(tmp_path):
     """The cursor commits pending_gate=i with the model_{i} checkpoint and
     clears it only after the gate finishes; a resume that finds it pending
