@@ -161,3 +161,41 @@ def matches_from_records(
         )
         for rec in records
     ]
+
+
+def ladder_rows_to_match_records(
+    ladder_rows: Iterable[Mapping],
+    existing_records: Iterable[Mapping] = (),
+) -> list[dict]:
+    """Convert strength-ladder JSONL rows into elo_match records so the
+    (expensive) pure-MCTS rung matches feed the Elo fit too.
+
+    Legitimate because scripts/strength_ladder.py and
+    scripts/elo_tournament.py play matches with IDENTICAL arena settings
+    (same play(), temperature 0.3, same MctsConfig) — a ladder rung IS an
+    Elo match, just recorded in a different schema.  The model player is
+    named by its checkpoint dir basename (".../model_12" -> "model_12");
+    pairs already present in ``existing_records`` are skipped, mirroring
+    the tournament's pair cache.
+    """
+    done = {
+        frozenset((r["player_a"], r["player_b"])) for r in existing_records
+    }
+    out: list[dict] = []
+    for row in ladder_rows:
+        if row.get("metric") != "strength_ladder":
+            continue
+        name = str(row["model"]).rstrip("/").rsplit("/", 1)[-1]
+        pair = frozenset((name, row["rung"]))
+        if pair in done:
+            continue
+        done.add(pair)
+        out.append({
+            "metric": "elo_match", "player_a": name,
+            "player_b": row["rung"], "wins_a": int(row["wins"]),
+            "wins_b": int(row["losses"]), "draws": int(row.get("draws", 0)),
+            "games": int(row["games"]), "model_sims": row.get("model_sims"),
+            "round_limit": row.get("round_limit"),
+            "from_ladder": True,
+        })
+    return out

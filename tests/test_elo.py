@@ -98,3 +98,38 @@ class TestBootstrapCI:
         lo6, hi6 = cis["m6"]
         lo12, hi12 = cis["m12"]
         assert lo6 < hi12 and lo12 < hi6  # ...visibly insignificant
+
+
+class TestLadderToElo:
+    def test_converts_and_skips_existing_pairs(self):
+        from die_e_tpu.arena.elo import ladder_rows_to_match_records
+
+        ladder = [
+            {"metric": "strength_ladder",
+             "model": "runs/bg_full/models/backgammon/model_34",
+             "rung": "mcts400", "games": 128, "wins": 70, "losses": 55,
+             "draws": 3, "model_sims": 100, "round_limit": 300},
+            {"metric": "strength_ladder",
+             "model": "runs/bg_full/models/backgammon/model_34",
+             "rung": "random", "games": 128, "wins": 128, "losses": 0,
+             "draws": 0, "model_sims": 100, "round_limit": 300},
+            {"metric": "something_else"},
+            # duplicate rung re-measured later: first occurrence wins
+            {"metric": "strength_ladder",
+             "model": "runs/bg_full/models/backgammon/model_34",
+             "rung": "mcts400", "games": 64, "wins": 30, "losses": 34,
+             "draws": 0},
+        ]
+        existing = [{"player_a": "model_34", "player_b": "random",
+                     "wins_a": 127, "wins_b": 1, "draws": 0}]
+        recs = ladder_rows_to_match_records(ladder, existing)
+        assert len(recs) == 1
+        r = recs[0]
+        assert (r["player_a"], r["player_b"]) == ("model_34", "mcts400")
+        assert (r["wins_a"], r["wins_b"], r["draws"]) == (70, 55, 3)
+        assert r["from_ladder"] is True
+        # converted rows round-trip into the fit's MatchResult schema
+        from die_e_tpu.arena.elo import matches_from_records
+
+        (m,) = matches_from_records(recs)
+        assert m.games == 128
