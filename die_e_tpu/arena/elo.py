@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Iterable, Mapping
+from typing import Iterable, Mapping, Optional
 
 import numpy as np
 
@@ -166,6 +166,7 @@ def matches_from_records(
 def ladder_rows_to_match_records(
     ladder_rows: Iterable[Mapping],
     existing_records: Iterable[Mapping] = (),
+    skipped: Optional[list] = None,
 ) -> list[dict]:
     """Convert strength-ladder JSONL rows into elo_match records so the
     (expensive) pure-MCTS rung matches feed the Elo fit too.
@@ -173,23 +174,42 @@ def ladder_rows_to_match_records(
     Legitimate because scripts/strength_ladder.py and
     scripts/elo_tournament.py play matches with IDENTICAL arena settings
     (same play(), temperature 0.3, same MctsConfig) — a ladder rung IS an
-    Elo match, just recorded in a different schema.  The model player is
-    named by its checkpoint dir basename (".../model_12" -> "model_12");
-    pairs already present in ``existing_records`` are skipped, mirroring
-    the tournament's pair cache.
+    Elo match, just recorded in a different schema.
+
+    Naming convention (shared by both scripts): a checkpoint player is its
+    directory BASENAME — ``.../model_12`` -> ``model_12``, ``.../best`` ->
+    ``best``.  Never point the ladder and the tournament at the same
+    checkpoint under different names (e.g. a copy of best as model_N), or
+    the fit sees two distinct players.
+
+    Rows whose (pair, games, model_sims) triple is already present in
+    ``existing_records`` are skipped — the same measurement appended twice
+    must not be double-counted — but a RE-measurement of a pair at a
+    different game count or sims budget is a new match and is kept.
+    Non-match rows in ``existing_records`` (summary lines etc.) are
+    ignored.  Skipped duplicates are appended to ``skipped`` if given.
     """
+    def key(a, b, games, sims):
+        return (frozenset((str(a), str(b))), games, sims)
+
     done = {
-        frozenset((r["player_a"], r["player_b"])) for r in existing_records
+        key(r.get("player_a"), r.get("player_b"),
+            int(r.get("games", 0) or 0), r.get("model_sims"))
+        for r in existing_records
+        if r.get("metric") == "elo_match"
+        and r.get("player_a") is not None and r.get("player_b") is not None
     }
     out: list[dict] = []
     for row in ladder_rows:
         if row.get("metric") != "strength_ladder":
             continue
         name = str(row["model"]).rstrip("/").rsplit("/", 1)[-1]
-        pair = frozenset((name, row["rung"]))
-        if pair in done:
+        k = key(name, row["rung"], int(row["games"]), row.get("model_sims"))
+        if k in done:
+            if skipped is not None:
+                skipped.append(dict(row))
             continue
-        done.add(pair)
+        done.add(k)
         out.append({
             "metric": "elo_match", "player_a": name,
             "player_b": row["rung"], "wins_a": int(row["wins"]),

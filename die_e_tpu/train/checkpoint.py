@@ -151,7 +151,7 @@ class AsyncSaver:
         self.close()
 
 
-def resolve_state_dir(path) -> Optional[Path]:
+def resolve_state_dir(path, heal: bool = True) -> Optional[Path]:
     """Reader-side half of AsyncSaver.save_state's atomic swap: return the
     directory holding the newest complete full-state checkpoint for
     ``path``, healing interrupted swaps.
@@ -164,19 +164,36 @@ def resolve_state_dir(path) -> Optional[Path]:
     None when no candidate exists.  Restore errors are still possible for
     legacy in-place saves torn before this protocol existed — callers
     should treat a failed restore as "fall back", not fatal.
+
+    ``heal=False`` is strictly read-only: it returns the best candidate
+    (``path`` > ``path.new`` > ``path.old``) without touching the
+    filesystem.  Multi-process resumes must pass it on every process except
+    the one designated to heal — the shared models dir invariant is "every
+    host reads, only process 0 writes", and two processes racing the
+    ``cand.rename(target)`` heal would crash the loser with OSError.
     """
     target = Path(path)
     new = target.with_name(target.name + ".new")
     old = target.with_name(target.name + ".old")
     if target.exists():
-        # stale swap leftovers: .new is an unfinished (unrenamed) save,
-        # .old a superseded state — both are strictly older than `target`
-        shutil.rmtree(new, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+        if heal:
+            # stale swap leftovers: .new is an unfinished (unrenamed) save,
+            # .old a superseded state — both are strictly older than `target`
+            shutil.rmtree(new, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
         return target
     for cand in (new, old):  # .new is the more recent complete state
         if cand.exists():
-            cand.rename(target)
+            if not heal:
+                return cand
+            try:
+                cand.rename(target)
+            except OSError:
+                # lost a heal race (another process renamed first): the
+                # target is now in place — fall through to re-check it
+                if target.exists():
+                    return target
+                raise
             shutil.rmtree(new, ignore_errors=True)
             shutil.rmtree(old, ignore_errors=True)
             return target

@@ -135,8 +135,21 @@ def learn(
     )
     latest = ckpt.model_dir(env.spec.name, models_base) / "latest_state"
     full_resume = False
+    fallback_restored = None  # model_{i} index the fallback ladder restored
     if resume:
-        src = ckpt.resolve_state_dir(latest)
+        # only process 0 heals interrupted latest_state swaps (rmtree +
+        # rename on the SHARED models dir); other processes barrier behind
+        # the heal, then resolve read-only — two racing heals would crash
+        # the rename loser, and non-main writes violate the "every host
+        # reads, only process 0 writes" invariant
+        if is_main:
+            src = ckpt.resolve_state_dir(latest)
+        if nproc > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("resume_heal")
+        if not is_main:
+            src = ckpt.resolve_state_dir(latest, heal=False)
         if src is not None:
             try:
                 # full resume incl. optimizer state (the reference rebuilds
@@ -166,6 +179,7 @@ def learn(
                 state = state.replace(params=variables["params"],
                                       batch_stats=variables["batch_stats"])
                 source = f"{mp_i} (variables only, fresh optimizer)"
+                fallback_restored = i
                 break
     metrics.log("model_bootstrap", source=source)
     tx = make_optimizer(opt.lr, opt.wd)
@@ -308,13 +322,18 @@ def learn(
         obs, ps, outcome = trajectory_to_memory(traj, az.temperature)
         return (obs, ps, outcome, np.asarray(traj.winner), len(obs))
 
-    if pending_gate is not None and full_resume and is_main:
+    if (pending_gate is not None and is_main
+            and (full_resume or fallback_restored == int(pending_gate))):
         # the previous run died between committing model_{g}/latest_state
         # and finishing that iteration's gate (the gate arena is the
         # longest device window, so the likeliest crash site): run the
         # missed gate now so every checkpoint challenges best exactly once.
         # latest_state IS iteration g's state — pending_gate is only ever
-        # written by iteration g's own commit.
+        # written by iteration g's own commit.  The fallback path also
+        # qualifies when it restored model_{g} itself (same inference
+        # variables, fresh optimizer): g is durably on disk — pending_gate
+        # commits only after its save — so it must still challenge best
+        # instead of the pending flag being silently overwritten.
         # At-least-once gate semantics: a kill between the async cursor
         # commit (pending_gate=g) and the post-gate cursor write re-runs a
         # gate that may already have finished, with a DIFFERENT rng

@@ -57,6 +57,10 @@ then
   git add -f "$RUN/models/backgammon/latest_state"
 else
   echo "[end_of_round] WARNING: latest_state not restorable — snapshotting model_i/best only"
+  # also untrack any previously-committed (stale but intact) latest_state:
+  # left tracked, the next round's resume would restore it SUCCESSFULLY and
+  # never reach the newer model_i fallback — a silent weight regression
+  git rm -r -q --cached "$RUN/models/backgammon/latest_state" 2>/dev/null || true
 fi
 # newest two model_{i} inference checkpoints: the resume fallback ladder
 # (train/learn.py) restarts from these when latest_state is lost

@@ -36,13 +36,18 @@ def main():
         return [json.loads(l) for l in path.read_text().splitlines()
                 if l.strip()]
 
+    skipped: list = []
     new = ladder_rows_to_match_records(
-        read_jsonl(args.ladder), read_jsonl(args.out))
+        read_jsonl(args.ladder), read_jsonl(args.out), skipped=skipped)
     with open(args.out, "a") as f:
         for rec in new:
             f.write(json.dumps(rec) + "\n")
             print(json.dumps(rec))
-    print(f"appended {len(new)} match records to {args.out}", file=sys.stderr)
+    for row in skipped:
+        print(f"skipped (already recorded): {json.dumps(row)}",
+              file=sys.stderr)
+    print(f"appended {len(new)} match records to {args.out} "
+          f"({len(skipped)} duplicates skipped)", file=sys.stderr)
 
 
 if __name__ == "__main__":

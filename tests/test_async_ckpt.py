@@ -105,6 +105,28 @@ class TestAsyncSaver:
         assert not (tmp_path / "latest.old").exists()
         assert ckpt.resolve_state_dir(tmp_path / "absent") is None
 
+    def test_resolve_state_dir_readonly_mode(self, state, tmp_path):
+        """heal=False (non-main processes of a multi-process resume) must
+        return the best candidate WITHOUT mutating the shared models dir —
+        two racing heals would crash the rename loser, and only process 0
+        may write."""
+        target = tmp_path / "latest"
+        ckpt.save_state(state, tmp_path / "latest.new")
+        (tmp_path / "latest.old").mkdir()
+        # read-only resolve points at .new, renames nothing, prunes nothing
+        assert ckpt.resolve_state_dir(target, heal=False) == \
+            tmp_path / "latest.new"
+        assert not target.exists()
+        assert (tmp_path / "latest.old").exists()
+        # after process 0 heals, heal=False resolves the healed target
+        assert ckpt.resolve_state_dir(target) == target
+        assert ckpt.resolve_state_dir(target, heal=False) == target
+        # target present + stale leftovers: read-only mode leaves them
+        (tmp_path / "latest.old").mkdir()
+        assert ckpt.resolve_state_dir(target, heal=False) == target
+        assert (tmp_path / "latest.old").exists()
+        assert ckpt.resolve_state_dir(tmp_path / "absent", heal=False) is None
+
     def test_saves_serialize_in_order(self, tmp_path):
         order = []
         ev = threading.Event()

@@ -114,22 +114,51 @@ class TestLadderToElo:
              "rung": "random", "games": 128, "wins": 128, "losses": 0,
              "draws": 0, "model_sims": 100, "round_limit": 300},
             {"metric": "something_else"},
-            # duplicate rung re-measured later: first occurrence wins
+            # same pair RE-measured at a different game count: a new match,
+            # kept (only exact (pair, games, sims) duplicates are skipped)
             {"metric": "strength_ladder",
              "model": "runs/bg_full/models/backgammon/model_34",
              "rung": "mcts400", "games": 64, "wins": 30, "losses": 34,
-             "draws": 0},
+             "draws": 0, "model_sims": 100},
+            # exact duplicate of the first row: skipped
+            {"metric": "strength_ladder",
+             "model": "runs/bg_full/models/backgammon/model_34",
+             "rung": "mcts400", "games": 128, "wins": 70, "losses": 55,
+             "draws": 3, "model_sims": 100, "round_limit": 300},
         ]
-        existing = [{"player_a": "model_34", "player_b": "random",
-                     "wins_a": 127, "wins_b": 1, "draws": 0}]
-        recs = ladder_rows_to_match_records(ladder, existing)
-        assert len(recs) == 1
+        existing = [
+            # matching (pair, games, sims) measurement already recorded
+            {"metric": "elo_match", "player_a": "model_34",
+             "player_b": "random", "wins_a": 127, "wins_b": 1, "draws": 0,
+             "games": 128, "model_sims": 100},
+            # non-match rows (summary lines) must be tolerated, not KeyError
+            {"metric": "elo_summary", "note": "no player keys at all"},
+        ]
+        skipped: list = []
+        recs = ladder_rows_to_match_records(ladder, existing, skipped=skipped)
+        assert len(recs) == 2
         r = recs[0]
         assert (r["player_a"], r["player_b"]) == ("model_34", "mcts400")
         assert (r["wins_a"], r["wins_b"], r["draws"]) == (70, 55, 3)
         assert r["from_ladder"] is True
+        assert recs[1]["games"] == 64  # the re-measurement survives
+        # skipped: the random rung already in existing_records at the same
+        # (games, sims), and the exact mcts400 duplicate row
+        assert sorted(s["rung"] for s in skipped) == ["mcts400", "random"]
         # converted rows round-trip into the fit's MatchResult schema
         from die_e_tpu.arena.elo import matches_from_records
 
-        (m,) = matches_from_records(recs)
+        m = matches_from_records(recs)[0]
         assert m.games == 128
+
+    def test_existing_pair_recorded_at_other_settings_does_not_suppress(self):
+        from die_e_tpu.arena.elo import ladder_rows_to_match_records
+
+        ladder = [{"metric": "strength_ladder", "model": "x/model_5",
+                   "rung": "mcts100", "games": 128, "wins": 60, "losses": 68,
+                   "draws": 0, "model_sims": 100}]
+        existing = [{"metric": "elo_match", "player_a": "model_5",
+                     "player_b": "mcts100", "wins_a": 10, "wins_b": 22,
+                     "draws": 0, "games": 32, "model_sims": 100}]
+        recs = ladder_rows_to_match_records(ladder, existing)
+        assert len(recs) == 1 and recs[0]["games"] == 128

@@ -209,6 +209,57 @@ def test_resume_falls_back_to_newest_model_when_latest_state_torn(tmp_path):
     assert meta["next_learn_iter"] == 2
 
 
+def test_fallback_resume_still_runs_pending_gate(tmp_path):
+    """A torn latest_state whose fallback restores model_{g} with g ==
+    pending_gate must STILL run the catch-up gate: model_{g} is durably on
+    disk (pending_gate commits only after its save) and is exactly what the
+    fallback restored, so it must challenge best exactly once rather than
+    the pending flag being silently dropped (round-4 ADVICE)."""
+    import json
+    import shutil
+
+    config = Config(
+        mcts=MctsConfig(iterations=4, simulate_round_limit=9),
+        alphazero=AlphaZeroConfig(
+            learn_iterations=1, self_play_iterations=1, num_epochs=1,
+            training_batch_size=8, num_self_play_batches=8,
+        ),
+        optimizer=OptimizerParams(),
+        mesh=MeshConfig(data=8, model=1),
+        arena=ArenaConfig(num_games=8, round_limit=9),
+    )
+    kw = dict(data_base=str(tmp_path / "data"),
+              models_base=str(tmp_path / "models"))
+    learn(ttt.ENV, config, seed=0, metrics=Metrics(quiet=True), **kw)
+
+    # crash site: model_0 + latest_state committed (pending_gate=0 in the
+    # cursor), then the gate arena died AND latest_state was torn
+    meta_path = tmp_path / "models" / "tictactoe" / "latest_meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["pending_gate"] = 0
+    meta_path.write_text(json.dumps(meta))
+    latest = tmp_path / "models" / "tictactoe" / "latest_state"
+    for p in latest.rglob("*"):
+        if p.is_file() and "manifest" not in p.name and \
+                not p.name.startswith("_"):
+            p.unlink()
+    for d in list(latest.rglob("d")):
+        shutil.rmtree(d, ignore_errors=True)
+
+    jsonl = tmp_path / "events.jsonl"
+    learn(ttt.ENV, config, seed=0, resume=True,
+          metrics=Metrics(quiet=True, jsonl_path=str(jsonl)), **kw)
+    events = [json.loads(l) for l in jsonl.read_text().splitlines()]
+    boot = next(e for e in events if e["event"] == "model_bootstrap")
+    assert boot["source"].endswith("model_0 (variables only, fresh optimizer)")
+    names = [e["event"] for e in events]
+    assert "gate_resume" in names
+    assert names.index("gate_resume") < names.index("gate")
+    meta = json.loads(meta_path.read_text())
+    assert meta["next_learn_iter"] == 1
+    assert "pending_gate" not in meta
+
+
 def test_resume_reruns_gate_interrupted_mid_arena(tmp_path):
     """The cursor commits pending_gate=i with the model_{i} checkpoint and
     clears it only after the gate finishes; a resume that finds it pending
