@@ -145,6 +145,75 @@ def expected_score(rating_a: float, rating_b: float) -> float:
     return 1.0 / (1.0 + 10.0 ** ((rating_b - rating_a) / 400.0))
 
 
+def wilson95(successes: float, n: int) -> tuple[float, float]:
+    """95% Wilson score interval for a success proportion (successes =
+    wins only — draws do NOT count toward the arena winrate,
+    reference src/versus.rs:130-152 / arena.versus.PlayResult)."""
+    if n == 0:
+        return 0.0, 1.0
+    z = 1.959964
+    p = successes / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * ((p * (1 - p) + z * z / (4 * n)) / n) ** 0.5 / denom
+    return max(0.0, center - half), min(1.0, center + half)
+
+
+class SequentialRung:
+    """Early-stopping rule for a strength-ladder rung (the reporting
+    analog of train/gating.SequentialGate's decision rule, VERDICT r4
+    item 3): play the rung in blocks and stop as soon as the 95% Wilson
+    CI of the winrate is DECISIVE for reporting — entirely above or
+    entirely below ``ref`` (0.5 = "which player is stronger") — after at
+    least ``min_games``; otherwise run to ``max_games`` and report the
+    full-sample estimate.  A stopped rung's CI is still a valid Wilson
+    interval at its stopping n (slightly anti-conservative under optional
+    stopping — acceptable for a reporting ladder, NOT for the gate, which
+    keeps its exact fixed-N rule).
+
+    This is what makes tunnel-expensive rungs (mcts1000 at ~10 s/move
+    blocks) affordable: a one-sided matchup stops after one or two blocks
+    instead of the fixed 128 games.
+
+    Feed with update(wins, games); ``done`` flips True once decisive or
+    exhausted, ``verdict`` is "above"/"below" ``ref`` or None (ran to
+    max_games without the CI separating).
+    """
+
+    def __init__(self, max_games: int, min_games: int = 32,
+                 ref: float = 0.5):
+        self.max_games = int(max_games)
+        self.min_games = int(min_games)
+        self.ref = float(ref)
+        self.wins = 0
+        self.games = 0
+        self.done = False
+        self.verdict: Optional[str] = None
+
+    def update(self, wins: int, games: int) -> bool:
+        if self.done:
+            return True
+        self.wins += int(wins)
+        self.games += int(games)
+        lo, hi = wilson95(self.wins, self.games)
+        if self.games >= self.min_games:
+            if lo > self.ref:
+                self.done, self.verdict = True, "above"
+            elif hi < self.ref:
+                self.done, self.verdict = True, "below"
+        if self.games >= self.max_games:
+            self.done = True
+        return self.done
+
+    @property
+    def ci(self) -> tuple[float, float]:
+        return wilson95(self.wins, self.games)
+
+    @property
+    def winrate(self) -> float:
+        return self.wins / max(self.games, 1)
+
+
 def matches_from_records(
     records: Iterable[Mapping],
 ) -> list[MatchResult]:

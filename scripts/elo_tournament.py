@@ -32,6 +32,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax  # noqa: E402
 
+if "--cpu" in sys.argv:
+    # the axon sitecustomize PJRT plugin OVERRIDES JAX_PLATFORMS=cpu
+    # (CLAUDE.md) — force post-import, or a "CPU" run lands on the chip
+    jax.config.update("jax_platforms", "cpu")
+
 
 def parse_models(spec: str) -> dict[str, str]:
     out = {}
@@ -61,6 +66,8 @@ def main():
                     help="pure-MCTS iterations per device program")
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--negamax", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (handled pre-parse)")
     ap.add_argument("--skip-anchor-pairs", action="store_true",
                     help="only model-vs-model and model-vs-anchor pairs")
     ap.add_argument("--out", default="runs/bg_full/elo_matches.jsonl")

@@ -13,11 +13,17 @@ using the reference arena protocol (N games, half openings each side, round
 -limit draws, versus.rs:160-268).  The model plays with its self-play search
 budget (config `iterations`); the MCTS rung budget varies independently.
 
+Rungs play in blocks with sequential early stopping (arena.elo
+SequentialRung): a rung stops once its 95% Wilson CI is decisively above
+or below 0.5, which is what makes the expensive mcts400/mcts1000 rungs
+affordable on the tunnel (a one-sided matchup stops after 1-2 blocks
+instead of fixed --games).  --block 0 restores the fixed-N behavior.
+
 Prints one JSON line per rung.  Usage:
 
     python scripts/strength_ladder.py [--model-path models/backgammon/best]
         [--games 128] [--rungs random,mcts100,mcts400,mcts1000]
-        [--round-limit 300] [--out ladder.jsonl]
+        [--round-limit 300] [--block 32] [--out ladder.jsonl]
 """
 
 from __future__ import annotations
@@ -32,19 +38,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax  # noqa: E402
 
+if "--cpu" in sys.argv:
+    # the axon sitecustomize PJRT plugin OVERRIDES JAX_PLATFORMS=cpu
+    # (CLAUDE.md): forcing CPU requires config.update after importing jax.
+    # Without this a "CPU" smoke run lands on the real chip and contends
+    # with the training run (observed 2026-08-20: wedged the tunnel).
+    jax.config.update("jax_platforms", "cpu")
 
-def wilson95(successes: float, n: int) -> tuple[float, float]:
-    """95% Wilson score interval for a success proportion (successes =
-    wins_p1 only — draws do NOT count toward the arena winrate,
-    versus.rs:130-152 / arena.versus.PlayResult)."""
-    if n == 0:
-        return 0.0, 1.0
-    z = 1.959964
-    p = successes / n
-    denom = 1 + z * z / n
-    center = (p + z * z / (2 * n)) / denom
-    half = z * ((p * (1 - p) + z * z / (4 * n)) / n) ** 0.5 / denom
-    return max(0.0, center - half), min(1.0, center + half)
+from die_e_tpu.arena.elo import SequentialRung, wilson95  # noqa: E402
 
 
 def main():
@@ -62,7 +63,15 @@ def main():
     ap.add_argument("--search-chunk", type=int, default=20,
                     help="pure-MCTS iterations per device program "
                     "(tunnel program-duration bound)")
+    ap.add_argument("--block", type=int, default=32,
+                    help="games per sequential block (0 = fixed --games, "
+                    "no early stopping)")
+    ap.add_argument("--min-games", type=int, default=32,
+                    help="games before the sequential rule may stop")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (handled pre-parse; listed "
+                    "here so argparse accepts it)")
     ap.add_argument("--negamax", action="store_true")
     ap.add_argument("--out", default=None, help="append JSONL here too")
     args = ap.parse_args()
@@ -94,25 +103,43 @@ def main():
             opponent, mcts_iters = Player(Agent.MCTS), int(rung[4:])
         else:
             raise SystemExit(f"unknown rung {rung!r}")
-        rng, r = jax.random.split(rng)
         t0 = time.perf_counter()
         is_mcts = opponent.kind == Agent.MCTS
-        res = play(
-            bg.ENV, eval_fn, model, opponent, r, mcts_cfg,
-            temperature=0.3,  # near-greedy for strength measurement
-            num_games=args.games, round_limit=args.round_limit,
-            mcts_iterations=mcts_iters,
-            mcts_rollout_limit=args.rollout_limit if is_mcts else None,
-            mcts_search_chunk=args.search_chunk if is_mcts else None,
-        )
-        lo, hi = wilson95(res.wins_p1, args.games)
+        block = args.block if args.block > 0 else args.games
+        seq = SequentialRung(args.games, min_games=args.min_games)
+        wins = losses = draws = 0
+        n_blocks = 0
+        while not seq.done:
+            n = min(block, args.games - seq.games)
+            rng, r = jax.random.split(rng)
+            res = play(
+                bg.ENV, eval_fn, model, opponent, r, mcts_cfg,
+                temperature=0.3,  # near-greedy for strength measurement
+                num_games=n, round_limit=args.round_limit,
+                mcts_iterations=mcts_iters,
+                mcts_rollout_limit=args.rollout_limit if is_mcts else None,
+                mcts_search_chunk=args.search_chunk if is_mcts else None,
+            )
+            wins += res.wins_p1
+            losses += res.wins_p2
+            draws += res.draws
+            n_blocks += 1
+            seq.update(res.wins_p1, n)
+            print(json.dumps({
+                "metric": "ladder_block", "rung": rung, "games": seq.games,
+                "wins": wins, "wilson95": [round(x, 4) for x in seq.ci],
+                "secs": round(time.perf_counter() - t0, 1),
+            }), file=sys.stderr, flush=True)
+        lo, hi = seq.ci
         line = {
             "metric": "strength_ladder", "model": path, "rung": rung,
-            "games": args.games, "wins": res.wins_p1, "losses": res.wins_p2,
-            "draws": res.draws, "winrate": res.winrate,
+            "games": seq.games, "wins": wins, "losses": losses,
+            "draws": draws, "winrate": seq.winrate,
             "wilson95": [round(lo, 4), round(hi, 4)],
             "model_sims": args.sims, "round_limit": args.round_limit,
             "secs": round(time.perf_counter() - t0, 1),
+            "early_stopped": seq.games < args.games,
+            "verdict": seq.verdict,
         }
         if is_mcts:
             line["rollout_limit"] = args.rollout_limit

@@ -100,6 +100,54 @@ class TestBootstrapCI:
         assert lo6 < hi12 and lo12 < hi6  # ...visibly insignificant
 
 
+class TestSequentialRung:
+    """Early-stopping ladder rung (VERDICT r4 item 3): stop when the 95%
+    Wilson CI is decisive vs 0.5, never before min_games, always by
+    max_games."""
+
+    def test_one_sided_matchup_stops_at_first_block(self):
+        from die_e_tpu.arena.elo import SequentialRung
+
+        seq = SequentialRung(128, min_games=32)
+        assert seq.update(30, 32) is True
+        assert seq.verdict == "above" and seq.games == 32
+        lo, _ = seq.ci
+        assert lo > 0.5
+
+    def test_weak_model_stops_below(self):
+        from die_e_tpu.arena.elo import SequentialRung
+
+        seq = SequentialRung(128, min_games=32)
+        assert seq.update(3, 32) is True
+        assert seq.verdict == "below"
+
+    def test_balanced_matchup_runs_to_max_games(self):
+        from die_e_tpu.arena.elo import SequentialRung
+
+        seq = SequentialRung(128, min_games=32)
+        for _ in range(4):
+            done = seq.update(16, 32)
+        assert done is True and seq.games == 128
+        assert seq.verdict is None  # CI never separated from 0.5
+        assert seq.winrate == 0.5
+
+    def test_never_stops_before_min_games(self):
+        from die_e_tpu.arena.elo import SequentialRung
+
+        seq = SequentialRung(128, min_games=32)
+        assert seq.update(16, 16) is False  # perfect record, too few games
+        assert seq.update(16, 16) is True   # 32/32 now decisive
+        assert seq.verdict == "above"
+
+    def test_block_zero_equivalent_fixed_run(self):
+        from die_e_tpu.arena.elo import SequentialRung, wilson95
+
+        seq = SequentialRung(64, min_games=32)
+        seq.update(40, 64)
+        assert seq.done and seq.games == 64
+        assert seq.ci == wilson95(40, 64)
+
+
 class TestLadderToElo:
     def test_converts_and_skips_existing_pairs(self):
         from die_e_tpu.arena.elo import ladder_rows_to_match_records
