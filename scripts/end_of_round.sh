@@ -40,40 +40,8 @@ EOF
 done
 
 # snapshot only a RESTORABLE latest_state (round-4 lesson: committing a
-# torn checkpoint is worse than none — the d/ data files were missing and
-# the next round's resume aborted); heal interrupted swaps first
-if PYTHONPATH=/root/repo:/root/.axon_site timeout 300 python - <<'EOF'
-import jax; jax.config.update("jax_platforms", "cpu")
-import orbax.checkpoint as ocp
-from die_e_tpu.train import checkpoint as ckpt
-p = ckpt.resolve_state_dir("/root/repo/runs/bg_full/models/backgammon/latest_state")
-assert p is not None, "no latest_state"
-tree = ocp.Checkpointer(ocp.PyTreeCheckpointHandler()).restore(p.absolute())
-n = len(jax.tree_util.tree_leaves(tree))
-assert n > 10, f"only {n} leaves"
-print(f"latest_state restorable: {n} leaves")
-EOF
-then
-  git add -f "$RUN/models/backgammon/latest_state"
-else
-  echo "[end_of_round] WARNING: latest_state not restorable — snapshotting model_i/best only"
-  # also untrack any previously-committed (stale but intact) latest_state:
-  # left tracked, the next round's resume would restore it SUCCESSFULLY and
-  # never reach the newer model_i fallback — a silent weight regression
-  git rm -r -q --cached "$RUN/models/backgammon/latest_state" 2>/dev/null || true
-fi
-# newest two model_{i} inference checkpoints: the resume fallback ladder
-# (train/learn.py) restarts from these when latest_state is lost
-for m in $(ls -d "$RUN"/models/backgammon/model_* 2>/dev/null \
-             | sed 's/.*model_//' | sort -n | tail -2); do
-  git add -f "$RUN/models/backgammon/model_$m"
-done
-git add -f \
-  "$RUN/metrics.jsonl" \
-  "$RUN/models/backgammon/latest_meta.json" \
-  "$RUN/models/backgammon/best" \
-  "$RUN/ladder.jsonl" "$RUN/elo_matches.jsonl" 2>/dev/null
-git commit -q -m "Snapshot run state for cross-round resume (metrics, cursor, latest/best checkpoints)" || true
+# torn checkpoint is worse than none) — shared milestone-snapshot logic
+bash /root/repo/scripts/snapshot_run.sh "Snapshot run state for cross-round resume (end of round)"
 if [ "$PREFLIGHT_OK" -ne 1 ]; then
   echo "[end_of_round] FAILURE: chip preflight never succeeded after 20 attempts —"
   echo "[end_of_round] the tunnel is UNHEALTHY and the driver's bench.py will likely fail."

@@ -22,7 +22,12 @@ while true; do
     echo "[watchdog] STOP file present; exiting" >> "$RUN/run.log"
     break
   fi
+  # persistent XLA compile cache (VERDICT round-4 weak #3): every watchdog
+  # relaunch otherwise burns ~200 s recompiling the self-play/train/arena
+  # programs; the axon PJRT plugin supports executable serialization
+  # (cache files observed written through the tunnel)
   PYTHONPATH=/root/repo:/root/.axon_site \
+    JAX_COMPILATION_CACHE_DIR=/root/repo/runs/jax_cache \
     DIE_E_SP_COMPACT=1 DIE_E_ARENA_COMPACT=1 \
     DIE_E_SP_MIN_BATCH=64 DIE_E_ARENA_MIN_BATCH=64 \
     python -m die_e_tpu.cli.main -c /root/repo/configs/bg_full.toml \
