@@ -74,6 +74,13 @@ def main():
                     "here so argparse accepts it)")
     ap.add_argument("--negamax", action="store_true")
     ap.add_argument("--out", default=None, help="append JSONL here too")
+    ap.add_argument("--resume-state", default=None,
+                    help="JSON file persisting per-rung block tallies; a "
+                    "tunnel crash mid-rung loses at most one block — "
+                    "relaunch with the same flags and completed blocks/"
+                    "rungs are skipped (block RNG is derived as "
+                    "fold_in(seed, rung)/fold_in(., block) so replayed "
+                    "schedules are identical)")
     args = ap.parse_args()
 
     from die_e_tpu.arena.versus import Agent, Player, play
@@ -94,8 +101,19 @@ def main():
         iterations=args.sims, c=2.0, simulate_round_limit=args.round_limit,
         dirichlet_alpha=0.3, dirichlet_epsilon=0.25, negamax=args.negamax,
     )
-    rng = jax.random.PRNGKey(args.seed)
-    for rung in args.rungs.split(","):
+    base_key = jax.random.PRNGKey(args.seed)
+    state_path = Path(args.resume_state) if args.resume_state else None
+    state: dict = {}
+    if state_path and state_path.exists():
+        state = json.loads(state_path.read_text())
+
+    def save_state():
+        if state_path:
+            tmp = state_path.with_suffix(".tmp")
+            tmp.write_text(json.dumps(state))
+            tmp.replace(state_path)
+
+    for rung_i, rung in enumerate(args.rungs.split(",")):
         rung = rung.strip()
         if rung == "random":
             opponent, mcts_iters = Player(Agent.RANDOM), None
@@ -107,11 +125,22 @@ def main():
         is_mcts = opponent.kind == Agent.MCTS
         block = args.block if args.block > 0 else args.games
         seq = SequentialRung(args.games, min_games=args.min_games)
-        wins = losses = draws = 0
-        n_blocks = 0
+        st = state.setdefault(rung, {
+            "games": 0, "wins": 0, "losses": 0, "draws": 0,
+            "blocks": 0, "secs": 0.0, "done": False})
+        if st["done"]:
+            print(json.dumps({"metric": "ladder_skip", "rung": rung,
+                              "reason": "already done in resume state"}),
+                  file=sys.stderr, flush=True)
+            continue
+        wins, losses, draws = st["wins"], st["losses"], st["draws"]
+        n_blocks = st["blocks"]
+        if st["games"]:
+            seq.update(wins, st["games"])  # replay tally into the stop rule
         while not seq.done:
             n = min(block, args.games - seq.games)
-            rng, r = jax.random.split(rng)
+            r = jax.random.fold_in(
+                jax.random.fold_in(base_key, rung_i), n_blocks)
             res = play(
                 bg.ENV, eval_fn, model, opponent, r, mcts_cfg,
                 temperature=0.3,  # near-greedy for strength measurement
@@ -125,11 +154,18 @@ def main():
             draws += res.draws
             n_blocks += 1
             seq.update(res.wins_p1, n)
+            st.update(games=seq.games, wins=wins, losses=losses,
+                      draws=draws, blocks=n_blocks,
+                      secs=round(st["secs"] + time.perf_counter() - t0, 1))
+            t0 = time.perf_counter()
+            save_state()
             print(json.dumps({
                 "metric": "ladder_block", "rung": rung, "games": seq.games,
                 "wins": wins, "wilson95": [round(x, 4) for x in seq.ci],
-                "secs": round(time.perf_counter() - t0, 1),
+                "secs": st["secs"],
             }), file=sys.stderr, flush=True)
+        st["done"] = True
+        save_state()
         lo, hi = seq.ci
         line = {
             "metric": "strength_ladder", "model": path, "rung": rung,
@@ -137,7 +173,7 @@ def main():
             "draws": draws, "winrate": seq.winrate,
             "wilson95": [round(lo, 4), round(hi, 4)],
             "model_sims": args.sims, "round_limit": args.round_limit,
-            "secs": round(time.perf_counter() - t0, 1),
+            "secs": round(st["secs"] + time.perf_counter() - t0, 1),
             "early_stopped": seq.games < args.games,
             "verdict": seq.verdict,
         }
