@@ -373,11 +373,62 @@ def _play_match(env, eval_fn, kind1, kind2, vars1, vars2, rng,
     return winner, total
 
 
+def _match_ckpt_save(path, states, done, rng, total, tracker, meta):
+    """Atomically persist a hosted-mcts match's round-loop carry (states,
+    done, rng, round count, winner tracker).  Tunnel-wedge insurance: a
+    killed match resumes at the last saved round instead of replaying the
+    whole match (the axon tunnel wedges under sustained mcts dispatch,
+    observed rounds 3 and 5)."""
+    import json
+    import os
+
+    import numpy as np
+
+    payload = {f"leaf_{i}": np.asarray(x)
+               for i, x in enumerate(jax.tree_util.tree_leaves(states))}
+    payload.update(
+        done=np.asarray(done), rng=np.asarray(rng),
+        total=np.asarray(total), orig=tracker.orig, tdone=tracker._done,
+        twinner=tracker._winner, meta=np.asarray(json.dumps(meta)))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+
+
+def _match_ckpt_load(path, states, rng, tracker, meta):
+    """Restore a match checkpoint written by :func:`_match_ckpt_save`;
+    returns (states, done, rng, total) or None when the file is absent or
+    was written by a match with different settings (``meta`` mismatch —
+    e.g. a stale file from another rung)."""
+    import json
+    import os
+
+    import numpy as np
+
+    if not path or not os.path.exists(path):
+        return None
+    z = np.load(path)
+    if json.loads(str(z["meta"])) != meta:
+        return None
+    leaves, treedef = jax.tree_util.tree_flatten(states)
+    new = [jnp.asarray(np.asarray(z[f"leaf_{i}"]).astype(x.dtype))
+           for i, x in enumerate(leaves)]
+    tracker.orig = z["orig"]
+    tracker._done = z["tdone"]
+    tracker._winner = z["twinner"]
+    return (jax.tree_util.tree_unflatten(treedef, new),
+            jnp.asarray(z["done"]),
+            jnp.asarray(np.asarray(z["rng"]).astype(np.asarray(rng).dtype)),
+            int(z["total"]))
+
+
 def _play_match_mcts_hosted(env, eval_fn, kind1, kind2, vars1, vars2, rng,
                             iterations, c, simulate_round_limit,
                             dirichlet_alpha, dirichlet_epsilon, temperature,
                             negamax, mcts_iterations, num_games, round_limit,
-                            rollout_limit, search_chunk):
+                            rollout_limit, search_chunk,
+                            match_ckpt=None, ckpt_every=10):
     """Match driver for pure-MCTS opponents: a host round loop in which each
     MCTS search is itself split across ``search_chunk``-iteration device
     programs (one fused arena round with a 100-iteration rollout search is
@@ -386,7 +437,13 @@ def _play_match_mcts_hosted(env, eval_fn, kind1, kind2, vars1, vars2, rng,
     bit-identical match to the fused path (tested in
     tests/test_arena.py); DIE_E_ARENA_COMPACT=1 additionally re-packs
     live games at round boundaries (which reshapes the rng draws — still
-    the same match protocol, no longer bit-identical)."""
+    the same match protocol, no longer bit-identical).
+
+    ``match_ckpt`` (a file path) persists the round-loop carry every
+    ``ckpt_every`` rounds and resumes from it if present, so a killed
+    process replays at most ``ckpt_every`` rounds; the file is removed on
+    completion.  The rng is part of the carry, so a resumed match is
+    bit-identical to an uninterrupted one (tests/test_arena.py)."""
     import os
 
     import numpy as np
@@ -403,6 +460,11 @@ def _play_match_mcts_hosted(env, eval_fn, kind1, kind2, vars1, vars2, rng,
     states = _init_match(env, r_seed, num_games)
     done = jax.vmap(env.done)(states)
     tracker = CompactionTracker(num_games)
+    meta = {"num_games": int(num_games), "round_limit": int(round_limit),
+            "mcts_iterations": int(mcts_iterations),
+            "kinds": [getattr(kind1, "name", str(kind1)),
+                      getattr(kind2, "name", str(kind2))],
+            "compact": compact}
 
     def merge_and_plan():
         done_h = np.asarray(done)
@@ -427,7 +489,11 @@ def _play_match_mcts_hosted(env, eval_fn, kind1, kind2, vars1, vars2, rng,
         )
 
     total = 0
-    for _ in range(round_limit):
+    if match_ckpt:
+        restored = _match_ckpt_load(match_ckpt, states, rng, tracker, meta)
+        if restored is not None:
+            states, done, rng, total = restored
+    while total < round_limit:
         all_done, idx = merge_and_plan()
         if all_done:
             break
@@ -447,11 +513,16 @@ def _play_match_mcts_hosted(env, eval_fn, kind1, kind2, vars1, vars2, rng,
             action = jnp.where(use1, a1, a2)
         states, done = _apply_round(env, states, done, action)
         total += 1
+        if match_ckpt and total % ckpt_every == 0:
+            _match_ckpt_save(match_ckpt, states, done, rng, total,
+                             tracker, meta)
     if compact:
         merge_and_plan()
         winner = jnp.asarray(tracker.final_winner())
     else:
         winner = jnp.where(done, jax.vmap(env.winner)(states), 0)
+    if match_ckpt and os.path.exists(match_ckpt):
+        os.remove(match_ckpt)
     return winner, total
 
 
@@ -470,6 +541,7 @@ def play(
     mcts_iterations: Optional[int] = None,
     mcts_rollout_limit: Optional[int] = None,
     mcts_search_chunk: Optional[int] = None,
+    mcts_match_ckpt: Optional[str] = None,
 ) -> PlayResult:
     """Run the arena match; player 1 is side -1 (versus.rs:186).
 
@@ -478,7 +550,9 @@ def play(
     ``mcts_rollout_limit`` caps their playout depth below the draw limit;
     ``mcts_search_chunk`` runs each pure-MCTS search as a chain of
     bounded device programs (host round loop) — same match, smaller
-    XLA executions."""
+    XLA executions; ``mcts_match_ckpt`` (hosted path only) persists the
+    round loop to that file so a killed match resumes instead of
+    replaying."""
     from die_e_tpu.arena.records import GameRecord
 
     negamax = getattr(mcts_cfg, "negamax", False)
@@ -496,6 +570,7 @@ def play(
             player1.variables, player2.variables, rng,
             *search_args, num_games, round_limit,
             mcts_rollout_limit, mcts_search_chunk,
+            match_ckpt=mcts_match_ckpt,
         )
         winner = np.asarray(winner)
         if metrics is not None:

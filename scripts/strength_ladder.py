@@ -81,6 +81,11 @@ def main():
                     "rungs are skipped (block RNG is derived as "
                     "fold_in(seed, rung)/fold_in(., block) so replayed "
                     "schedules are identical)")
+    ap.add_argument("--match-ckpt", default=None,
+                    help="file prefix for intra-match round checkpoints "
+                    "(mcts rungs only): the hosted match persists its "
+                    "round loop every ~10 rounds, so a tunnel wedge "
+                    "loses minutes instead of the whole block")
     args = ap.parse_args()
 
     from die_e_tpu.arena.versus import Agent, Player, play
@@ -148,6 +153,8 @@ def main():
                 mcts_iterations=mcts_iters,
                 mcts_rollout_limit=args.rollout_limit if is_mcts else None,
                 mcts_search_chunk=args.search_chunk if is_mcts else None,
+                mcts_match_ckpt=(f"{args.match_ckpt}.{rung}.npz"
+                                 if args.match_ckpt and is_mcts else None),
             )
             wins += res.wins_p1
             losses += res.wins_p2

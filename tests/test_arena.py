@@ -99,6 +99,89 @@ class TestPlay:
         )
         assert res2.wins_p1 + res2.wins_p2 + res2.draws == 16
 
+    def test_match_ckpt_resume_bit_identical(self, tmp_path):
+        """mcts_match_ckpt: a match killed mid-round-loop resumes from the
+        last persisted round and finishes bit-identically to an
+        uninterrupted match (the rng is part of the checkpoint carry)."""
+        from die_e_tpu.arena import versus
+
+        kwargs = dict(
+            num_games=8, round_limit=9, mcts_search_chunk=3,
+        )
+        base = play(
+            ttt.ENV, EVAL, Player(Agent.MCTS), Player(Agent.RANDOM),
+            jax.random.PRNGKey(5), MCTS_CFG, **kwargs,
+        )
+        ckpt = str(tmp_path / "match.npz")
+
+        # run with checkpointing but no interruption: same result, file
+        # cleaned up on completion
+        res = play(
+            ttt.ENV, EVAL, Player(Agent.MCTS), Player(Agent.RANDOM),
+            jax.random.PRNGKey(5), MCTS_CFG, mcts_match_ckpt=ckpt,
+            **kwargs,
+        )
+        assert (base.wins_p1, base.wins_p2, base.draws) == (
+            res.wins_p1, res.wins_p2, res.draws)
+        import os
+        assert not os.path.exists(ckpt)
+
+        # interrupt after 4 rounds (ckpt_every=2 so rounds 2 and 4 are
+        # persisted), then resume: bit-identical final counts
+        real_apply = versus._apply_round
+        calls = {"n": 0}
+
+        def bomb(env, states, done, action):
+            calls["n"] += 1
+            if calls["n"] > 4:
+                raise RuntimeError("tunnel wedge")
+            return real_apply(env, states, done, action)
+
+        orig_hosted = versus._play_match_mcts_hosted
+
+        def hosted_small_ckpt(*a, **kw):
+            kw["ckpt_every"] = 2
+            return orig_hosted(*a, **kw)
+
+        try:
+            versus._apply_round = bomb
+            versus._play_match_mcts_hosted = hosted_small_ckpt
+            try:
+                play(ttt.ENV, EVAL, Player(Agent.MCTS), Player(Agent.RANDOM),
+                     jax.random.PRNGKey(5), MCTS_CFG, mcts_match_ckpt=ckpt,
+                     **kwargs)
+                raise AssertionError("bomb did not fire")
+            except RuntimeError:
+                pass
+            assert os.path.exists(ckpt)  # round-4 checkpoint survived
+        finally:
+            versus._apply_round = real_apply
+            versus._play_match_mcts_hosted = orig_hosted
+
+        resumed = play(
+            ttt.ENV, EVAL, Player(Agent.MCTS), Player(Agent.RANDOM),
+            jax.random.PRNGKey(5), MCTS_CFG, mcts_match_ckpt=ckpt,
+            **kwargs,
+        )
+        assert (base.wins_p1, base.wins_p2, base.draws) == (
+            resumed.wins_p1, resumed.wins_p2, resumed.draws)
+        assert not os.path.exists(ckpt)
+
+        # a stale checkpoint from DIFFERENT match settings is ignored
+        from die_e_tpu.envs.base import CompactionTracker
+
+        versus._match_ckpt_save(
+            ckpt, jax.vmap(ttt.ENV.init)(jnp.arange(8, dtype=jnp.uint32)),
+            jnp.zeros(8, bool), jax.random.PRNGKey(0), 3,
+            CompactionTracker(8), {"num_games": 999})
+        res2 = play(
+            ttt.ENV, EVAL, Player(Agent.MCTS), Player(Agent.RANDOM),
+            jax.random.PRNGKey(5), MCTS_CFG, mcts_match_ckpt=ckpt,
+            **kwargs,
+        )
+        assert (base.wins_p1, base.wins_p2, base.draws) == (
+            res2.wins_p1, res2.wins_p2, res2.draws)
+
     def test_mcts_rollout_limit_match_runs(self):
         res = play(
             ttt.ENV, EVAL, Player(Agent.MCTS), Player(Agent.RANDOM),
