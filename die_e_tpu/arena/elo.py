@@ -272,7 +272,8 @@ def ladder_rows_to_match_records(
     for row in ladder_rows:
         if row.get("metric") != "strength_ladder":
             continue
-        name = str(row["model"]).rstrip("/").rsplit("/", 1)[-1]
+        name = row.get("name") or (
+            str(row["model"]).rstrip("/").rsplit("/", 1)[-1])
         k = key(name, row["rung"], int(row["games"]), row.get("model_sims"))
         if k in done:
             if skipped is not None:

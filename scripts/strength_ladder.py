@@ -52,6 +52,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-path", default=None,
                     help="checkpoint dir (default models/backgammon/best)")
+    ap.add_argument("--name", default=None,
+                    help="player name recorded in the output rows "
+                    "(default: the checkpoint dir basename). `best` is a "
+                    "MOVING pointer — when laddering it, pass the "
+                    "underlying model_N name so the Elo pool never "
+                    "conflates two different promotions")
     ap.add_argument("--games", type=int, default=128)
     ap.add_argument("--rungs", default="random,mcts100,mcts400,mcts1000")
     ap.add_argument("--round-limit", type=int, default=300)
@@ -175,7 +181,8 @@ def main():
         save_state()
         lo, hi = seq.ci
         line = {
-            "metric": "strength_ladder", "model": path, "rung": rung,
+            "metric": "strength_ladder", "model": path,
+            "name": args.name or None, "rung": rung,
             "games": seq.games, "wins": wins, "losses": losses,
             "draws": draws, "winrate": seq.winrate,
             "wilson95": [round(lo, 4), round(hi, 4)],

@@ -199,6 +199,29 @@ class TestLadderToElo:
         m = matches_from_records(recs)[0]
         assert m.games == 128
 
+    def test_name_override_beats_dir_basename(self):
+        """`best` is a moving pointer: a ladder row measured while best was
+        the iter-11 promotion must enter the fit as that model, not as a
+        player shared with every later promotion.  Rows carry an optional
+        explicit `name` (scripts/strength_ladder.py --name) that wins over
+        the path basename."""
+        from die_e_tpu.arena.elo import ladder_rows_to_match_records
+
+        ladder = [
+            {"metric": "strength_ladder",
+             "model": "runs/bg_full/models/backgammon/best",
+             "name": "model_11",
+             "rung": "mcts100", "games": 32, "wins": 26, "losses": 6,
+             "draws": 0, "model_sims": 100},
+            {"metric": "strength_ladder",  # no name: basename fallback
+             "model": "runs/bg_full/models/backgammon/best", "name": None,
+             "rung": "random", "games": 32, "wins": 32, "losses": 0,
+             "draws": 0, "model_sims": 100},
+        ]
+        recs = ladder_rows_to_match_records(ladder)
+        assert recs[0]["player_a"] == "model_11"
+        assert recs[1]["player_a"] == "best"
+
     def test_existing_pair_recorded_at_other_settings_does_not_suppress(self):
         from die_e_tpu.arena.elo import ladder_rows_to_match_records
 
