@@ -14,7 +14,12 @@
 # in runs/bg_full/learn.pid.  Never kill by pattern.
 set -u
 RUN=/root/repo/runs/bg_full
-STALL_SECS=${STALL_SECS:-900}
+# 600 s: the longest legitimate inter-log silence is a post-crash
+# bootstrap + first sp dispatch (~350-450 s with a warm compile cache);
+# round-5 measured three tunnel hangs in 80 min at 900 s each — the
+# shorter window saves ~5 min per incident without false-killing a slow
+# first iteration.
+STALL_SECS=${STALL_SECS:-600}
 echo $$ > "$RUN/watchdog.pid"
 cd "$RUN"
 while true; do
